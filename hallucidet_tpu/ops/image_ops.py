@@ -1,0 +1,106 @@
+"""On-device image ops: exact half-pixel bilinear resize (as matmuls on the
+MXU), deterministic nearest upsampling, and channel normalization.
+
+Replaces the reference's host/cuDNN image path: `F.interpolate` inside the
+detection transform (reference: src/models/custom_generalized_transform.py:49-87)
+and the deterministic decoder upsample (reference:
+src/segmentation_models/decoders/unet/decoder.py:7-8). Resize is implemented as
+two separable 1-D interpolation matrices contracted with the image — a pair of
+matmuls that XLA tiles straight onto the MXU, instead of a gather — and is
+bit-compatible with `align_corners=False, antialias=False` bilinear used by the
+ported weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] half-pixel bilinear interpolation weights."""
+    out = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(src))
+        frac = src - x0
+        lo = min(max(x0, 0), in_size - 1)
+        hi = min(max(x0 + 1, 0), in_size - 1)
+        out[i, lo] += 1.0 - frac
+        out[i, hi] += frac
+    return out
+
+
+def resize_bilinear(
+    images: jnp.ndarray, out_hw: Tuple[int, int], dtype=None
+) -> jnp.ndarray:
+    """Bilinear resize, NHWC [B,H,W,C] -> [B,h,w,C] (half-pixel centers, no
+    antialias). Static shapes; interpolation matrices are trace-time constants."""
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return images
+    compute_dtype = dtype or images.dtype
+    mh = jnp.asarray(_interp_matrix(h, oh), dtype=compute_dtype)  # [oh, h]
+    mw = jnp.asarray(_interp_matrix(w, ow), dtype=compute_dtype)  # [ow, w]
+    x = images.astype(compute_dtype)
+    # HIGHEST keeps fp32 on the MXU — resize feeds box-exact postprocessing.
+    prec = jax.lax.Precision.HIGHEST
+    # Contract H: [B,H,W,C] x [oh,H] -> [B,oh,W,C]
+    x = jnp.einsum("bhwc,oh->bowc", x, mh, precision=prec)
+    # Contract W: [B,oh,W,C] x [ow,W] -> [B,oh,ow,C]
+    x = jnp.einsum("bhwc,ow->bhoc", x, mw, precision=prec)
+    return x
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Deterministic nearest-neighbor 2x/kx upsample, NHWC.
+
+    Exact semantics of the reference's `upsample_deterministic`
+    (reference: src/segmentation_models/decoders/unet/decoder.py:7-8): each
+    pixel is repeated scale x scale. Implemented as broadcast+reshape so XLA
+    lowers it to a copy-free layout change where possible."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def normalize(
+    images: jnp.ndarray,
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> jnp.ndarray:
+    """(img - mean) / std per channel, NHWC."""
+    mean_arr = jnp.asarray(mean, dtype=images.dtype)
+    std_arr = jnp.asarray(std, dtype=images.dtype)
+    return (images - mean_arr) / std_arr
+
+
+def imagenet_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet mean/std normalization for pretrained encoders (reference:
+    src/models/encoder_decoder.py:47-53)."""
+    return normalize(images, IMAGENET_MEAN, IMAGENET_STD)
+
+
+def expand_one_channel_to_three(images: jnp.ndarray) -> jnp.ndarray:
+    """IR 1-channel -> 3-channel repeat (reference: src/utils/utils.py:51-53).
+    NHWC input [B,H,W,1] -> [B,H,W,3]."""
+    return jnp.repeat(images, 3, axis=-1)
+
+
+def minmax_normalize_image(images: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Per-image per-channel min-max rescale to [0,1] (reference:
+    src/utils/utils.py:237-254)."""
+    lo = jnp.min(images, axis=(1, 2), keepdims=True)
+    hi = jnp.max(images, axis=(1, 2), keepdims=True)
+    return (images - lo) / jnp.maximum(hi - lo, eps)

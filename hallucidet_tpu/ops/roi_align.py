@@ -1,0 +1,144 @@
+"""RoIAlign and multi-scale (FPN) RoIAlign, MXU-native.
+
+TPU replacement for torchvision's C++/CUDA `roi_align` consumed by the
+reference's RoI heads (reference: src/utils/eval_forward_fasterrcnn.py:122
+`model.roi_heads.box_roi_pool`, a MultiScaleRoIAlign).
+
+Design: RoIAlign's bilinear sampling grid is separable per RoI — the sample
+points are an outer product of row coords and column coords. We therefore build
+per-RoI 1-D interpolation weight matrices W_y [S, H] and W_x [S, W] with pure
+broadcasting (triangle kernel + border clamp, no scatter) and contract them
+with the feature map as two batched matmuls. XLA tiles these straight onto the
+MXU; there are no gathers in the hot path. Exactness matches `aligned=False`,
+`sampling_ratio=2` RoIAlign (the config of the ported detection weights).
+
+All functions are per-image; vmap over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sample_coords(
+    start: jnp.ndarray,  # [N]
+    size: jnp.ndarray,  # [N] (roi extent in feature coords)
+    output_size: int,
+    sampling_ratio: int,
+) -> jnp.ndarray:
+    """Per-RoI 1-D sample coordinates [N, output_size * sampling_ratio].
+
+    bin = size / output_size; within bin b, sample s sits at
+    start + (b + (s + 0.5)/sampling_ratio) * bin.
+    """
+    s = output_size * sampling_ratio
+    grid = (
+        np.repeat(np.arange(output_size, dtype=np.float32), sampling_ratio)
+        + (np.tile(np.arange(sampling_ratio, dtype=np.float32), output_size) + 0.5)
+        / sampling_ratio
+    )  # [S]
+    bin_size = size / output_size  # [N]
+    return start[:, None] + jnp.asarray(grid)[None, :] * bin_size[:, None]
+
+
+def _interp_weights(coords: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Triangle-kernel interpolation weights [N, S, extent] with RoIAlign
+    border semantics: points outside [-1, extent] contribute zero; points in
+    the border band clamp onto the edge pixel."""
+    inside = (coords >= -1.0) & (coords <= extent)
+    c = jnp.clip(coords, 0.0, extent - 1.0)
+    idx = jnp.arange(extent, dtype=coords.dtype)
+    w = jnp.clip(1.0 - jnp.abs(c[..., None] - idx), 0.0, 1.0)
+    return jnp.where(inside[..., None], w, 0.0)
+
+
+def roi_align(
+    features: jnp.ndarray,  # [H, W, C]
+    rois: jnp.ndarray,  # [N, 4] xyxy in input-image coords
+    spatial_scale: float,
+    output_size: Tuple[int, int] = (7, 7),
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign -> [N, oh, ow, C]."""
+    h, w, c = features.shape
+    n = rois.shape[0]
+    oh, ow = output_size
+
+    x1 = rois[:, 0] * spatial_scale
+    y1 = rois[:, 1] * spatial_scale
+    x2 = rois[:, 2] * spatial_scale
+    y2 = rois[:, 3] * spatial_scale
+    # aligned=False keeps the raw scaled coords; degenerate rois clamp to size 1
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    ys = _sample_coords(y1, roi_h, oh, sampling_ratio)  # [N, Sy]
+    xs = _sample_coords(x1, roi_w, ow, sampling_ratio)  # [N, Sx]
+    wy = _interp_weights(ys, h)  # [N, Sy, H]
+    wx = _interp_weights(xs, w)  # [N, Sx, W]
+
+    # Two MXU contractions: rows then columns (fp32 path — feature parity).
+    prec = jax.lax.Precision.HIGHEST
+    rows = jnp.einsum("nsh,hwc->nswc", wy, features, precision=prec)  # [N,Sy,W,C]
+    samples = jnp.einsum("ntw,nswc->nstc", wx, rows, precision=prec)  # [N,Sy,Sx,C]
+
+    # Average the sampling_ratio x sampling_ratio samples per bin.
+    sr = sampling_ratio
+    samples = samples.reshape(n, oh, sr, ow, sr, c)
+    return jnp.mean(samples, axis=(2, 4))
+
+
+def fpn_level_assignment(
+    rois: jnp.ndarray,  # [N, 4]
+    k_min: int,
+    k_max: int,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """FPN heuristic: level k = floor(k0 + log2(sqrt(area)/s0)). Returns the
+    index into the pooled feature list (0-based from k_min), int32 [N]."""
+    area = jnp.clip(rois[:, 2] - rois[:, 0], 0.0) * jnp.clip(
+        rois[:, 3] - rois[:, 1], 0.0
+    )
+    scale = jnp.sqrt(area)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(scale / canonical_scale + eps)
+    )
+    lvl = jnp.clip(lvl, k_min, k_max)
+    return (lvl - k_min).astype(jnp.int32)
+
+
+def multiscale_roi_align(
+    features: Sequence[jnp.ndarray],  # per level [Hi, Wi, C]
+    rois: jnp.ndarray,  # [N, 4]
+    strides: Sequence[int],  # per level, e.g. (4, 8, 16, 32)
+    output_size: Tuple[int, int] = (7, 7),
+    sampling_ratio: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """MultiScaleRoIAlign over FPN levels -> [N, oh, ow, C].
+
+    Static-shape strategy: pool every RoI on every level and select by the
+    level-assignment mask. Cost is dominated by the finest level (sum of a
+    geometric series in level size), and each per-level pool is an MXU matmul,
+    so the select is cheap relative to a data-dependent partition."""
+    n = rois.shape[0]
+    k_min = int(round(np.log2(strides[0])))
+    k_max = int(round(np.log2(strides[-1])))
+    levels = fpn_level_assignment(
+        rois, k_min, k_max, canonical_scale, canonical_level
+    )  # [N]
+    out = None
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        pooled = roi_align(
+            feat, rois, 1.0 / float(stride), output_size, sampling_ratio
+        )
+        sel = (levels == i)[:, None, None, None]
+        out = jnp.where(sel, pooled, out) if out is not None else pooled * sel
+    return out
