@@ -1,0 +1,78 @@
+"""Feature Pyramid Network + extra-level blocks, NHWC Flax.
+
+TPU rebuild of the FPN inside the reference's *_resnet50_fpn detectors
+(reference call path: src/utils/eval_forward_fasterrcnn.py:55 `model.backbone`).
+Top-down nearest upsampling to arbitrary grid sizes is a static gather with
+trace-time index tables (floor(i*in/out), legacy-nearest semantics matching the
+ported weights' geometry).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hallucidet_tpu.nn.layers import conv
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_idx(in_size: int, out_size: int) -> np.ndarray:
+    # legacy torch 'nearest': src = floor(dst * in/out)
+    return np.minimum(
+        (np.arange(out_size) * in_size // out_size), in_size - 1
+    ).astype(np.int32)
+
+
+def nearest_resize(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """NHWC nearest resize to arbitrary size (static shapes)."""
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    x = jnp.take(x, jnp.asarray(_nearest_idx(h, oh)), axis=1)
+    x = jnp.take(x, jnp.asarray(_nearest_idx(w, ow)), axis=2)
+    return x
+
+
+class FPN(nn.Module):
+    """inner 1x1 laterals + top-down nearest + 3x3 output convs.
+
+    extra: None | 'pool' (LastLevelMaxPool -> P6 = stride-2 subsample of P5,
+    Faster R-CNN config) | 'p6p7' (two stride-2 3x3 convs on P5, RetinaNet/
+    FCOS config).
+    """
+
+    out_channels: int = 256
+    extra: Optional[str] = "pool"
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        n = len(features)
+        laterals = [
+            conv(self.out_channels, 1, 1, 0, name=f"inner_{i}")(f)
+            for i, f in enumerate(features)
+        ]
+        # top-down pathway
+        merged = [None] * n
+        merged[n - 1] = laterals[n - 1]
+        for i in range(n - 2, -1, -1):
+            up = nearest_resize(merged[i + 1], laterals[i].shape[1:3])
+            merged[i] = laterals[i] + up
+        outs = [
+            conv(self.out_channels, 3, 1, 1, name=f"layer_{i}")(m)
+            for i, m in enumerate(merged)
+        ]
+        if self.extra == "pool":
+            # max_pool kernel 1 stride 2 == stride-2 subsample
+            outs.append(outs[-1][:, ::2, ::2, :])
+        elif self.extra == "p6p7":
+            p6 = conv(self.out_channels, 3, 2, 1, name="p6")(outs[-1])
+            p7 = conv(self.out_channels, 3, 2, 1, name="p7")(nn.relu(p6))
+            outs.extend([p6, p7])
+        elif self.extra is not None:
+            raise ValueError(f"unknown extra block: {self.extra}")
+        return outs

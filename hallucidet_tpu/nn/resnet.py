@@ -1,0 +1,154 @@
+"""ResNet encoders/backbones (18/34/50/101/152), NHWC Flax.
+
+One implementation serves both consumers of the reference:
+- smp-style encoder for the hallucination U-Net, returning the 6 staged
+  features (reference: src/segmentation_models/encoders/resnet.py:37-70),
+  with trainable BatchNorm;
+- torchvision-style detector backbone with FrozenBatchNorm feeding the FPN
+  (reference detectors are *_resnet50_fpn; SURVEY.md §3.4).
+
+Param naming mirrors torch (`conv1`, `bn1`, `layer{n}_{i}`, `downsample_*`)
+so checkpoint conversion is a mechanical key map (interop/torch_loader.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hallucidet_tpu.nn.layers import BatchNorm, FrozenBatchNorm, conv
+
+
+def _norm(frozen: bool, features: int, name: str):
+    if frozen:
+        return FrozenBatchNorm(features, name=name)
+    return BatchNorm(features, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
+        if self.downsample:
+            identity = conv(
+                self.planes, 1, self.stride, 0, use_bias=False, name="downsample_0"
+            )(x)
+            identity = _apply_norm(
+                _norm(self.frozen_bn, self.planes, "downsample_1"), identity, train
+            )
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    frozen_bn: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out_ch = self.planes * self.expansion
+        out = conv(self.planes, 1, 1, 0, use_bias=False, name="conv1")(x)
+        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
+        out = nn.relu(out)
+        # stride lives on the 3x3 (torchvision placement)
+        out = conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv2")(out)
+        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
+        out = nn.relu(out)
+        out = conv(out_ch, 1, 1, 0, use_bias=False, name="conv3")(out)
+        out = _apply_norm(_norm(self.frozen_bn, out_ch, "bn3"), out, train)
+        if self.downsample:
+            identity = conv(
+                out_ch, 1, self.stride, 0, use_bias=False, name="downsample_0"
+            )(x)
+            identity = _apply_norm(
+                _norm(self.frozen_bn, out_ch, "downsample_1"), identity, train
+            )
+        return nn.relu(out + identity)
+
+
+def _apply_norm(mod, x, train):
+    if isinstance(mod, BatchNorm):
+        return mod(x, train)
+    return mod(x)
+
+
+RESNET_SPECS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 4),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 4),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), 4),
+}
+
+# smp encoder out_channels, index 0 = the input itself.
+ENCODER_OUT_CHANNELS = {
+    "resnet18": (3, 64, 64, 128, 256, 512),
+    "resnet34": (3, 64, 64, 128, 256, 512),
+    "resnet50": (3, 64, 256, 512, 1024, 2048),
+    "resnet101": (3, 64, 256, 512, 1024, 2048),
+    "resnet152": (3, 64, 256, 512, 1024, 2048),
+}
+
+
+class ResNet(nn.Module):
+    """Staged ResNet trunk. `__call__` returns the smp 6-feature list:
+    [x, stem(x), layer1, layer2, layer3, layer4]; detector backbones use
+    [2:] (C2..C5)."""
+
+    arch: str = "resnet50"
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> List[jnp.ndarray]:
+        block_cls, layer_sizes, expansion = RESNET_SPECS[self.arch]
+        features = [x]
+
+        out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
+        out = _apply_norm(_norm(self.frozen_bn, 64, "bn1"), out, train)
+        out = nn.relu(out)
+        features.append(out)
+
+        out = nn.max_pool(
+            out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        planes = 64
+        for li, n_blocks in enumerate(layer_sizes, start=1):
+            stride = 1 if li == 1 else 2
+            for bi in range(n_blocks):
+                needs_ds = bi == 0 and (stride != 1 or li == 1 and expansion != 1)
+                out = block_cls(
+                    planes=planes,
+                    stride=stride if bi == 0 else 1,
+                    downsample=needs_ds,
+                    frozen_bn=self.frozen_bn,
+                    name=f"layer{li}_{bi}",
+                )(out, train)
+            features.append(out)
+            planes *= 2
+        return features
+
+
+def encoder_out_channels(arch: str) -> Tuple[int, ...]:
+    return ENCODER_OUT_CHANNELS[arch]
+
+
+def backbone_out_channels(arch: str) -> Tuple[int, ...]:
+    """C2..C5 channels for the FPN."""
+    return ENCODER_OUT_CHANNELS[arch][2:]

@@ -1,0 +1,93 @@
+"""EncoderDecoder — the hallucination-network wrapper + model factory.
+
+Rebuild of the reference wrapper (reference: src/models/encoder_decoder.py:8-53)
+and the smp `create_model` factory (reference:
+src/segmentation_models/__init__.py:24-64). Returns a Flax module plus helpers
+for init and ImageNet normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hallucidet_tpu.ops.image_ops import imagenet_normalize
+from hallucidet_tpu.translation.unet import Unet
+
+_ARCHS = {
+    "unet": dict(use_skips=True),
+    "unetmodified": dict(use_skips=False),
+}
+
+
+def create_model(
+    arch: str = "unet",
+    encoder_name: str = "resnet34",
+    in_channels: int = 3,
+    classes: int = 3,
+    **kwargs: Any,
+):
+    """smp-style factory. `in_channels` must be 3 (IR input is expanded
+    1ch->3ch upstream, reference: src/utils/utils.py:51-53)."""
+    arch = arch.lower()
+    if arch not in _ARCHS:
+        raise ValueError(
+            f"unknown translation arch '{arch}'; available: {sorted(_ARCHS)}"
+        )
+    if in_channels != 3:
+        raise NotImplementedError("in_channels != 3 not supported yet")
+    return Unet(encoder_name=encoder_name, classes=classes, **_ARCHS[arch], **kwargs)
+
+
+class EncoderDecoder:
+    """Convenience wrapper mirroring the reference constructor surface
+    (name/encoder_depth/decoder_attention_type/in_channels/output_channels/
+    segmentation_head/dropout/avg2d_flag)."""
+
+    def __init__(
+        self,
+        name: str = "resnet34",
+        encoder_depth: int = 5,
+        encoder_weights: Optional[str] = None,
+        decoder_attention_type: Optional[str] = None,
+        in_channels: int = 3,
+        output_channels: int = 3,
+        segmentation_head: str = "sigmoid",
+        dropout: float = 0.2,
+        avg2d_flag: bool = True,
+        arch: str = "unet",
+    ):
+        if encoder_depth != 5:
+            raise NotImplementedError("encoder_depth != 5 not supported")
+        self.module = create_model(
+            arch=arch,
+            encoder_name=name,
+            in_channels=in_channels,
+            classes=output_channels,
+            decoder_attention_type=decoder_attention_type,
+            head=segmentation_head,
+        )
+        # encoder_weights='imagenet' requires a converted torch checkpoint in
+        # this zero-egress environment; loading happens via interop.
+        self.encoder_weights = encoder_weights
+
+    def init(self, rng: jax.Array, sample_hw: Tuple[int, int] = (512, 640)):
+        x = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)
+        return self.module.init(rng, x, False)
+
+    def apply(self, variables, images, train: bool = False, rngs=None, **kw):
+        return self.module.apply(
+            variables,
+            images,
+            train,
+            rngs=rngs,
+            mutable=["batch_stats"] if train else False,
+            **kw,
+        )
+
+    @staticmethod
+    def normalization(images: jnp.ndarray) -> jnp.ndarray:
+        """ImageNet normalization (reference: src/models/encoder_decoder.py:47-53)."""
+        return imagenet_normalize(images)

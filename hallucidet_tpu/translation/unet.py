@@ -1,0 +1,72 @@
+"""Unet / UnetModified segmentation models (the HalluciDet translation nets).
+
+Rebuild of the smp model assembly (reference:
+src/segmentation_models/decoders/unet/model.py:12-100 and base/model.py:5-56):
+encoder -> decoder -> segmentation head, with the static input-shape check
+(divisible by 2^depth) enforced at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hallucidet_tpu.nn.heads import ClassificationHead, SegmentationHead
+from hallucidet_tpu.nn.resnet import ResNet
+from hallucidet_tpu.nn.unet_decoder import UnetDecoder
+
+
+class Unet(nn.Module):
+    """smp.Unet equivalent. `head` extends smp's activation slot with the
+    HalluciDet variants (reference: src/models/encoder_decoder.py:29-45)."""
+
+    encoder_name: str = "resnet34"
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    decoder_use_batchnorm: bool = True
+    decoder_attention_type: Optional[str] = None
+    classes: int = 3
+    head: str = "sigmoid"
+    use_skips: bool = True  # False => UnetModified
+    aux_classes: Optional[int] = None  # optional classification head
+
+    def _check_input_shape(self, x: jnp.ndarray):
+        h, w = x.shape[1:3]
+        stride = 32  # encoder output stride (depth 5)
+        if h % stride != 0 or w % stride != 0:
+            raise ValueError(
+                f"input H/W ({h}, {w}) must be divisible by {stride} "
+                "(reference: src/segmentation_models/base/model.py:12-22)"
+            )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # NHWC, 3 channels
+        train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
+    ):
+        self._check_input_shape(x)
+        features: List[jnp.ndarray] = ResNet(arch=self.encoder_name, name="encoder")(
+            x, train
+        )
+        decoded = UnetDecoder(
+            decoder_channels=self.decoder_channels,
+            use_batchnorm=self.decoder_use_batchnorm,
+            attention_type=self.decoder_attention_type,
+            use_skips=self.use_skips,
+            name="decoder",
+        )(features, train)
+        masks = SegmentationHead(
+            out_channels=self.classes,
+            head=self.head,
+            name="segmentation_head",
+        )(decoded, train, dropout_rng)
+        if self.aux_classes is not None:
+            labels = ClassificationHead(
+                classes=self.aux_classes, name="classification_head"
+            )(features[-1], train, dropout_rng)
+            return masks, labels
+        return masks
