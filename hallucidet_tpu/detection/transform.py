@@ -1,0 +1,55 @@
+"""On-device detection input transform (fixed-size resize + normalize) and
+its inverse postprocess for boxes.
+
+Rebuild of the reference's CustomGeneralizedRCNNTransform (reference:
+src/models/custom_generalized_transform.py:103-304): fixed_size resize
+(bilinear, half-pixel), configurable mean/std (the reference pins mean=0,
+std=1, reference: src/models/detector.py change_generalized_transform),
+size_divisible=1, and postprocess that rescales detection boxes back to the
+original frame. Runs entirely on device inside the jitted graph — there is no
+host round trip, and the resize is two MXU matmuls (ops/image_ops.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from hallucidet_tpu.detection.targets import Detections, Targets
+from hallucidet_tpu.ops.boxes import resize_boxes
+from hallucidet_tpu.ops.image_ops import normalize, resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionTransform:
+    size: Tuple[int, int] = (300, 300)  # (h, w) fixed detector input
+    image_mean: Tuple[float, ...] = (0.0,)
+    image_std: Tuple[float, ...] = (1.0,)
+
+    def __call__(
+        self, images: jnp.ndarray, targets: Optional[Targets] = None
+    ) -> Tuple[jnp.ndarray, Optional[Targets]]:
+        """images NHWC in [0,1] at native resolution -> normalized fixed-size
+        batch; target boxes rescaled into the fixed frame."""
+        _, h, w, c = images.shape
+        mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
+        std = self.image_std * (c if len(self.image_std) == 1 else 1)
+        out = normalize(images, mean, std)
+        out = resize_bilinear(out, self.size)
+        new_targets = None
+        if targets is not None:
+            boxes = resize_boxes(targets.boxes, (h, w), self.size)
+            boxes = jnp.where(targets.valid[..., None], boxes, 0.0)
+            new_targets = Targets(boxes, targets.labels, targets.valid)
+        return out, new_targets
+
+    def postprocess(
+        self, detections: Detections, original_hw: Tuple[int, int]
+    ) -> Detections:
+        """Rescale detection boxes from the fixed frame back to the original
+        image size (reference: custom_generalized_transform.py:276-296)."""
+        boxes = resize_boxes(detections.boxes, self.size, original_hw)
+        boxes = jnp.where(detections.valid[..., None], boxes, 0.0)
+        return Detections(boxes, detections.scores, detections.labels, detections.valid)

@@ -38,6 +38,37 @@ def top_k_by_score(
     return boxes[idx], top_scores, top_scores > NEG_INF / 2, idx
 
 
+def _suppression_fixed_point(over: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy-NMS keep mask for score-DESC-sorted candidates.
+
+    Greedy NMS defines keep[j] = valid[j] & not exists i<j: keep[i] & over[i,j].
+    Instead of an O(N)-step sequential scan, iterate the recurrence as a
+    matrix fixed point: each round resolves suppression chains one level
+    deeper (A kills B, dead B revives C, ...). Real detection workloads
+    converge in a handful of rounds; the while_loop exits exactly at the
+    fixed point, so the result equals the sequential algorithm bit-for-bit.
+    """
+    n = over.shape[0]
+    idx = jnp.arange(n)
+    # strictly-upper-triangular overlap among valid candidates
+    tri = over & (idx[:, None] < idx[None, :]) & valid[:, None] & valid[None, :]
+
+    def cond(state):
+        keep, done, it = state
+        return (~done) & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        # suppressed[j] = any_i (tri[i, j] & keep[i])
+        suppressed = jnp.any(tri & keep[:, None], axis=0)
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.array_equal(new_keep, keep), it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(False), 0))
+    return keep
+
+
 def nms_keep_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -56,14 +87,7 @@ def nms_keep_mask(
     v = masked_scores[order] > NEG_INF / 2
 
     iou = box_iou(b, b)  # [N, N]
-    over = iou > iou_threshold
-    idx = jnp.arange(n)
-
-    def body(i, keep):
-        row = over[i] & keep[i] & (idx > i)
-        return keep & ~row
-
-    keep_sorted = jax.lax.fori_loop(0, n, body, v)
+    keep_sorted = _suppression_fixed_point(iou > iou_threshold, v)
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 
