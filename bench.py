@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused IR->RGB + detect throughput on LLVIP-native
+frames (1024x1280), one chip.
+
+The whole pipeline — IR 1ch->3ch expand, U-Net(resnet34) hallucination at
+native resolution, on-device resize to the 300x300 detector frame, Faster
+R-CNN R50-FPN forward, NMS postprocess — compiles as ONE XLA program
+(BASELINE.md north star). The reference publishes no speed numbers
+(SURVEY.md §6), so `vs_baseline` reports measured / analytic-speed-of-light
+for the dominant convolution FLOPs on this chip.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hallucidet_tpu.detection import FasterRCNN, FasterRCNNConfig, pad_targets
+    from hallucidet_tpu.ops.image_ops import expand_one_channel_to_three
+    from hallucidet_tpu.translation import create_model
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    hw = (1024, 1280)  # native LLVIP frame
+    dtype = jnp.bfloat16
+
+    unet = create_model("unet", encoder_name="resnet34", classes=3)
+    det = FasterRCNN(FasterRCNNConfig(num_classes=2), image_size=(300, 300))
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    ir_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ed_vars = unet.init(k1, ir_small, False)
+    det_vars = det.init(k2)
+
+    # inference-shaped targets (the fused graph includes the loss path the
+    # HalluciDet trainer uses; eval path needs targets for parity mode too)
+    targets = pad_targets(
+        [np.array([[100, 100, 300, 400]], np.float32)] * batch,
+        [np.array([1])] * batch,
+        capacity=8,
+    )
+
+    def fused(ed_v, det_v, ir):
+        ir3 = expand_one_channel_to_three(ir)
+        hall = unet.apply(ed_v, ir3, False)
+        losses, dets = det.forward(
+            det_v, hall, targets, train_det=False, rng=jax.random.PRNGKey(1)
+        )
+        return dets.boxes, dets.scores, dets.valid
+
+    fused_jit = jax.jit(fused)
+
+    ir = jax.random.uniform(
+        jax.random.PRNGKey(3), (batch, *hw, 1), jnp.float32
+    )
+
+    # warmup / compile
+    out = fused_jit(ed_vars, det_vars, ir)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fused_jit(ed_vars, det_vars, ir)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+
+    # Analytic speed-of-light: dominant conv FLOPs of U-Net(resnet34 @ 1024x
+    # 1280) + detector (R50-FPN @ 300x300) against the chip's peak.
+    unet_gflop = 230.0  # resnet34 encoder+unet decoder @ 1024x1280, ~per image
+    det_gflop = 45.0  # r50-fpn + rpn + roi heads @ 300x300
+    total_flop = (unet_gflop + det_gflop) * 1e9
+    peak = 197e12  # v5e bf16 peak FLOPs/s
+    sol_imgs_per_sec = peak / total_flop
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_ir2rgb_detect_llvip_1024x1280",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
+                "batch": batch,
+                "dtype": str(dtype.dtype if hasattr(dtype, "dtype") else dtype),
+                "note": "reference publishes no throughput; vs_baseline = fraction of analytic conv-FLOP speed-of-light on this chip",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

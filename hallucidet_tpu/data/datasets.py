@@ -92,22 +92,52 @@ class SingleModalDetectionDataset:
     def __len__(self) -> int:
         return len(self.indices) if self.indices is not None else len(self.list_names)
 
+    # Fixed-frame datasets (LLVIP is uniformly 1024x1280) use the native
+    # threaded libjpeg loader once the frame size is known; other datasets
+    # or non-JPEG inputs fall back to PIL. Opt out with
+    # HALLUCIDET_NATIVE_LOADER=0.
+    _native_hw = None
+
+    def _native_ok(self, path: str) -> bool:
+        import os as _os
+
+        if _os.environ.get("HALLUCIDET_NATIVE_LOADER", "1") == "0":
+            return False
+        if self.dataset != "llvip":
+            return False
+        return path.endswith((".jpg", ".jpeg"))
+
     def _load_image(self, path: str, modality: str) -> np.ndarray:
-        if modality == "rgb":
-            return to_tensor_rgb(np.asarray(Image.open(path).convert("RGB")))
-        return to_tensor_ir(np.asarray(Image.open(path).convert("L")))
+        gray = modality != "rgb"
+        if self._native_ok(path) and self._native_hw is not None:
+            from hallucidet_tpu.data import native
+
+            out = native.load_image(path, gray=gray, hw=self._native_hw)
+            if out is not None:
+                return out
+        if gray:
+            img = to_tensor_ir(np.asarray(Image.open(path).convert("L")))
+        else:
+            img = to_tensor_rgb(np.asarray(Image.open(path).convert("RGB")))
+        if self._native_hw is None:
+            self._native_hw = img.shape[:2]
+        return img
 
     def __getitem__(self, index: int):
         if self.indices is not None:
             index = self.indices[index]
         name = self.list_names[index]
         path = name + self.ext
-        raw = np.asarray(
-            Image.open(path).convert("RGB" if self.modality == "rgb" else "L")
-        )
-        if self.transforms is not None:
+        if self.transforms is None:
+            img = self._load_image(path, self.modality)
+        else:
+            raw = np.asarray(
+                Image.open(path).convert("RGB" if self.modality == "rgb" else "L")
+            )
             raw = self.transforms(raw, self.rng)
-        img = to_tensor_rgb(raw) if self.modality == "rgb" else to_tensor_ir(raw)
+            img = to_tensor_rgb(raw) if self.modality == "rgb" else to_tensor_ir(raw)
+            if self._native_hw is None:
+                self._native_hw = img.shape[:2]
         annot = get_bbox(name + ".xml", self.dataset, self.train)
         target = {
             "boxes": annot["bboxes"].reshape(-1, 4).astype(np.float32),
@@ -178,8 +208,8 @@ class MultiModalDetectionDataset(SingleModalDetectionDataset):
         name_ir = self.list_names_ir[index]
         ir_ext = ".jpeg" if self.dataset == "flir" else self.ext
 
-        img_rgb = to_tensor_rgb(np.asarray(Image.open(name_rgb + self.ext).convert("RGB")))
-        img_ir = to_tensor_ir(np.asarray(Image.open(name_ir + ir_ext).convert("L")))
+        img_rgb = self._load_image(name_rgb + self.ext, "rgb")
+        img_ir = self._load_image(name_ir + ir_ext, "ir")
         annot_rgb = get_bbox(
             (name_ir if self.dataset == "flir" else name_rgb) + ".xml",
             self.dataset, self.train,

@@ -1,0 +1,277 @@
+"""torch checkpoint -> JAX pytree conversion.
+
+The reference ships published weights as Lightning `.ckpt` / raw `.bin` torch
+state dicts (reference: src/models/detector.py:69-79, eval_hallucidet.py:
+199-213 `load_from_checkpoint(strict=False)`, README HF-hosted ckpts). This
+module maps those onto the framework's Flax variable trees:
+
+- conv kernels OIHW -> HWIO;
+- linear weights [out, in] -> [in, out];
+- the Fast R-CNN fc6 additionally permutes its input columns from the torch
+  CHW-flatten order to this build's NHWC (h, w, c) flatten order
+  (see detection/faster_rcnn.py FasterRCNNModule.box_predict);
+- BatchNorm -> params(scale, bias) + batch_stats(mean, var); FrozenBatchNorm
+  (detector trunks) keeps weight/bias/running_mean/running_var as params;
+- Lightning checkpoints are unwrapped ('state_dict', `encoder_decoder.*` /
+  `detector.*` prefixes) with strict=False semantics: missing keys keep their
+  initialized values and are reported.
+
+Key-name mapping is rule-based: every Flax module in nn/ and detection/ names
+its submodules after the corresponding torch layer (layer2_1 <-> layer2.1,
+cSE_1 <-> cSE.1, inner_0 <-> inner_blocks.0, ...).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# torch is import-gated: conversion is a host-side, offline operation.
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    torch = _torch()
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "cpu")}
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(w, (1, 0))
+
+
+def fc6_kernel(w: np.ndarray, pooled_hw: Tuple[int, int] = (7, 7), channels: int = 256):
+    """torch fc6 flattens (C, H, W); this build flattens (H, W, C)."""
+    out_f, in_f = w.shape
+    h, win = pooled_hw
+    w4 = w.reshape(out_f, channels, h, win)
+    w4 = np.transpose(w4, (0, 2, 3, 1))  # [out, h, w, c]
+    return np.transpose(w4.reshape(out_f, in_f), (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# flax path -> torch key rules
+# ---------------------------------------------------------------------------
+
+_LAYER_RE = re.compile(r"^layer(\d+)_(\d+)$")
+_TOWER_RE = re.compile(r"^(cls|reg)_tower_(\d+)$")
+_GN_RE = re.compile(r"^(cls|reg)_gn_(\d+)$")
+_INNER_RE = re.compile(r"^inner_(\d+)$")
+_LAYERB_RE = re.compile(r"^layer_(\d+)$")
+_BLOCK_RE = re.compile(r"^block_(\d+)$")
+
+
+def _segments_to_torch(
+    path: List[str], detector: Optional[str] = None, fcos_gn: bool = False
+) -> str:
+    """Translate a Flax module path into the matching torch module path."""
+    out: List[str] = []
+    i = 0
+    while i < len(path):
+        seg = path[i]
+        m = _LAYER_RE.match(seg)
+        if m:
+            out.append(f"layer{m.group(1)}.{m.group(2)}")
+        elif seg.startswith("downsample_"):
+            out.append("downsample." + seg.split("_")[1])
+        elif seg == "bn":  # flax BatchNorm wrapper inner module
+            pass
+        elif _INNER_RE.match(seg):
+            out.append(f"inner_blocks.{seg.split('_')[1]}")
+        elif _LAYERB_RE.match(seg):
+            out.append(f"layer_blocks.{seg.split('_')[1]}")
+        elif seg in ("p6", "p7"):
+            out.append(f"extra_blocks.{seg}")
+        elif _BLOCK_RE.match(seg):
+            out.append(f"blocks.{seg.split('_')[1]}")
+        elif _TOWER_RE.match(seg):
+            kind, idx = _TOWER_RE.match(seg).groups()
+            mult = 3 if fcos_gn else 2
+            head = "classification_head" if kind == "cls" else "regression_head"
+            out.append(f"head.{head}.conv.{int(idx) * mult}")
+        elif _GN_RE.match(seg):
+            kind, idx = _GN_RE.match(seg).groups()
+            head = "classification_head" if kind == "cls" else "regression_head"
+            out.append(f"head.{head}.conv.{int(idx) * 3 + 1}")
+        elif seg == "cls_logits":
+            out.append(
+                "head.classification_head.cls_logits" if detector else "cls_logits"
+            )
+        elif seg == "bbox_reg":
+            out.append("head.regression_head.bbox_reg")
+        elif seg == "bbox_ctrness":
+            out.append("head.regression_head.bbox_ctrness")
+        elif seg in ("rpn_conv", "rpn_cls_logits", "rpn_bbox_pred"):
+            out.append("rpn.head." + seg.replace("rpn_", "", 1))
+        elif seg in ("fc6", "fc7"):
+            out.append(f"roi_heads.box_head.{seg}")
+        elif seg in ("cls_score", "bbox_pred"):
+            out.append(f"roi_heads.box_predictor.{seg}")
+        elif seg == "body":
+            out.append("backbone.body")
+        elif seg == "fpn":
+            out.append("backbone.fpn")
+        elif "_" in seg and seg.split("_")[-1].isdigit() and seg[0] in "cs":
+            # cSE_1 / sSE_0 attention convs
+            base, idx = seg.rsplit("_", 1)
+            out.append(f"{base}.{idx}")
+        else:
+            out.append(seg)
+        i += 1
+    return ".".join(out)
+
+
+_PARAM_SUFFIX = {
+    "kernel": "weight",
+    "bias": "bias",
+    "scale": "weight",  # BatchNorm/GroupNorm scale
+    "weight": "weight",  # FrozenBatchNorm
+    "running_mean": "running_mean",
+    "running_var": "running_var",
+    "mean": "running_mean",  # flax batch_stats
+    "var": "running_var",
+    "embedding": "weight",
+}
+
+
+def _leaf_transform(path: List[str], leaf_name: str, value_shape) -> str:
+    """Which transform a torch tensor needs for this flax leaf."""
+    if leaf_name == "kernel":
+        if len(value_shape) == 4:
+            return "conv"
+        if path and path[-1] == "fc6":
+            return "fc6"
+        return "dense"
+    return "none"
+
+
+def convert_into_variables(
+    variables: Dict[str, Any],
+    torch_sd: Dict[str, np.ndarray],
+    prefix: str = "",
+    detector: Optional[str] = None,
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Fill a Flax variable tree from a torch state dict.
+
+    Returns (new_variables, loaded_keys, missing_torch_keys). strict=False:
+    leaves without a matching torch tensor keep their current value.
+    """
+    import jax
+
+    fcos_gn = detector == "fcos"
+    loaded: List[str] = []
+    missing: List[str] = []
+
+    def convert_collection(tree, collection: str):
+        flat = jax.tree_util.tree_flatten_with_path(tree)
+        out_leaves = []
+        for kp, leaf in flat[0]:
+            segs = [p.key for p in kp]
+            leaf_name = segs[-1]
+            mod_path = segs[:-1]
+            torch_key = (
+                prefix
+                + _segments_to_torch(mod_path, detector, fcos_gn)
+                + "."
+                + _PARAM_SUFFIX.get(leaf_name, leaf_name)
+            )
+            if torch_key in torch_sd:
+                t = torch_sd[torch_key]
+                tf = _leaf_transform(mod_path, leaf_name, np.shape(t))
+                if tf == "conv":
+                    t = conv_kernel(t)
+                elif tf == "fc6":
+                    t = fc6_kernel(t)
+                elif tf == "dense":
+                    t = dense_kernel(t)
+                if tuple(t.shape) != tuple(np.shape(leaf)):
+                    raise ValueError(
+                        f"shape mismatch for {torch_key}: torch {t.shape} vs "
+                        f"flax {np.shape(leaf)} at {'/'.join(segs)}"
+                    )
+                out_leaves.append(np.asarray(t, dtype=np.asarray(leaf).dtype))
+                loaded.append(torch_key)
+            else:
+                missing.append(torch_key)
+                out_leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(flat[1], out_leaves)
+
+    new_vars = {c: convert_collection(t, c) for c, t in variables.items()}
+    return new_vars, loaded, missing
+
+
+# ---------------------------------------------------------------------------
+# high-level entry points
+# ---------------------------------------------------------------------------
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+
+
+def load_detector_variables(path: str, detector_name: str, n_classes: int = 2):
+    """Load a detector `.bin`/`.ckpt` into fresh detector variables."""
+    from hallucidet_tpu.detection import Detector
+    import jax
+
+    det = Detector(name=detector_name, n_classes=n_classes)
+    variables = det.init(jax.random.PRNGKey(0))
+    sd = load_torch_state_dict(path)
+    # Lightning DetectorLit stores the detector under 'detector.detector.'
+    for prefix in ("detector.detector.", "detector.", ""):
+        candidate = strip_prefix(sd, prefix) if prefix else sd
+        if any(k.startswith(("backbone.", "rpn.", "head.", "roi_heads.")) for k in candidate):
+            sd = candidate
+            break
+    new_vars, loaded, missing = convert_into_variables(
+        variables, sd, detector=det.name
+    )
+    if not loaded:
+        raise ValueError(f"no detector weights matched in {path}")
+    return new_vars
+
+
+def load_encoder_decoder_variables(
+    path: str,
+    arch: str = "unet",
+    encoder_name: str = "resnet34",
+    classes: int = 3,
+    head: str = "sigmoid",
+    sample_hw: Tuple[int, int] = (96, 128),
+):
+    """Load the hallucination net from a Lightning `.ckpt` (strict=False)."""
+    from hallucidet_tpu.translation import create_model
+    import jax
+    import jax.numpy as jnp
+
+    model = create_model(arch=arch, encoder_name=encoder_name, classes=classes, head=head)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *sample_hw, 3), jnp.float32), False
+    )
+    sd = load_torch_state_dict(path)
+    for prefix in ("encoder_decoder.encoder_decoder.", "encoder_decoder.", ""):
+        candidate = strip_prefix(sd, prefix) if prefix else sd
+        if any(k.startswith(("encoder.", "decoder.", "segmentation_head.")) for k in candidate):
+            sd = candidate
+            break
+    new_vars, loaded, missing = convert_into_variables(dict(variables), sd)
+    if not loaded:
+        raise ValueError(f"no encoder-decoder weights matched in {path}")
+    return new_vars

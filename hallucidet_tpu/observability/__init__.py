@@ -1,0 +1,7 @@
+"""hallucidet_tpu.observability — wandb-surface logging + profiling hooks."""
+
+from hallucidet_tpu.observability.wandb_logger import (  # noqa: F401
+    WandbLogger,
+    define_reference_metrics,
+)
+from hallucidet_tpu.observability.profiling import profile_trace, StepTimer  # noqa: F401

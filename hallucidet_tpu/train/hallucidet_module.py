@@ -1,0 +1,233 @@
+"""HalluciDet training module — the reference's EncoderDecoderLit as pure
+jitted steps (reference: train_hallucidet.py:59-364).
+
+The core algorithm (forward_step, train_hallucidet.py:161-240):
+IR 1ch -> 3ch -> U-Net -> hallucinated RGB -> frozen detector loss on IR
+targets + optional pixel/perceptual reconstruction; backward flows THROUGH the
+detector into the hallucinated image (detector params stop-gradient'd — the
+functional equivalent of requires_grad=False at :102-105); Adam over
+encoder-decoder params only (:429-435); grad clip 0.5 (:498-499).
+
+The whole IR -> U-Net -> resize -> detect -> loss graph compiles as ONE XLA
+program. The reference computes RGB/IR-baseline detections every step; here
+they run only in val/test (they never contribute gradients), one of the
+deliberate TPU-side efficiency wins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hallucidet_tpu.detection import Detector, Targets
+from hallucidet_tpu.losses import Reconstruction
+from hallucidet_tpu.ops.image_ops import expand_one_channel_to_three
+from hallucidet_tpu.train import optim as optim_lib
+from hallucidet_tpu.translation import create_model
+
+
+@dataclasses.dataclass
+class HalluciDetTrainConfig:
+    detector: str = "fasterrcnn"
+    decoder_backbone: str = "resnet34"
+    segmentation_head: str = "sigmoid"
+    arch: str = "unet"
+    n_classes: int = 2
+    input_size: int = 300
+    output_channels: int = 3
+    lr: float = 1e-4
+    optimizer: str = "adam"
+    gradient_clip_val: float = 0.5
+    train_det: bool = False  # optionally unfreeze the detector (Config.Detector.train_det)
+    pixel: Optional[str] = None
+    perceptual: Optional[str] = None
+    loss_weights: Optional[Dict[str, float]] = None
+
+
+DEFAULT_WEIGHTS = {
+    "pixel_rgb": 0.0, "pixel_ir": 0.0, "perceptual_rgb": 0.0,
+    "perceptual_ir": 0.0, "det_regression": 0.1, "det_classification": 0.1,
+    "det_objectness": 0.1, "det_rpn_box_reg": 0.1, "det_bbox_ctrness": 0.1,
+    "det_masked": 0.0,
+}
+
+
+class HalluciDetModule:
+    """encoder_decoder (trainable) + detector (frozen); jitted forward_step."""
+
+    def __init__(
+        self,
+        cfg: HalluciDetTrainConfig,
+        rng: jax.Array,
+        detector_variables=None,
+        sample_hw: Tuple[int, int] = (128, 160),
+    ):
+        self.cfg = cfg
+        self.weights = dict(DEFAULT_WEIGHTS)
+        if cfg.loss_weights:
+            self.weights.update(cfg.loss_weights)
+
+        self.encoder_decoder = create_model(
+            arch=cfg.arch, encoder_name=cfg.decoder_backbone,
+            classes=cfg.output_channels, head=cfg.segmentation_head,
+        )
+        k1, k2 = jax.random.split(rng)
+        dummy = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)
+        self.ed_variables = self.encoder_decoder.init(k1, dummy, False)
+
+        self.detector = Detector(
+            name=cfg.detector, n_classes=cfg.n_classes, size=cfg.input_size
+        )
+        self.det_variables = detector_variables or self.detector.init(k2)
+
+        self.loss_pixel = Reconstruction.select_loss_pixel(cfg.pixel)
+        self.loss_perceptual = Reconstruction.select_loss_perceptual(cfg.perceptual)
+
+        self.tx = optim_lib.build_optimizer(
+            cfg.optimizer, cfg.lr, gradient_clip_val=cfg.gradient_clip_val
+        )
+        self.opt_state = self.tx.init(self.ed_variables["params"])
+
+    # ---- the core algorithm ----
+
+    def forward_step(
+        self,
+        ed_params,
+        ed_batch_stats,
+        det_params,
+        imgs_rgb: jnp.ndarray,
+        targets_rgb: Targets,
+        imgs_ir: jnp.ndarray,
+        targets_ir: Targets,
+        rng: jax.Array,
+        train: bool,
+        with_baseline_detections: bool,
+    ):
+        w = self.weights
+        ir3 = expand_one_channel_to_three(imgs_ir)
+
+        ed_vars = {"params": ed_params, "batch_stats": ed_batch_stats}
+        if train:
+            hallucinated, upd = self.encoder_decoder.apply(
+                ed_vars, ir3, True, mutable=["batch_stats"]
+            )
+            new_bs = upd["batch_stats"]
+        else:
+            hallucinated = self.encoder_decoder.apply(ed_vars, ir3, False)
+            new_bs = ed_batch_stats
+
+        loss_pixel_rgb = loss_pixel_ir = 0.0
+        loss_perc_rgb = loss_perc_ir = 0.0
+        if self.loss_pixel is not None:
+            loss_pixel_rgb = self.loss_pixel(imgs_rgb, hallucinated) * w["pixel_rgb"]
+            loss_pixel_ir = self.loss_pixel(ir3, hallucinated) * w["pixel_ir"]
+        if self.loss_perceptual is not None:
+            loss_perc_rgb = (
+                self.loss_perceptual(imgs_rgb, hallucinated) * w["perceptual_rgb"]
+            )
+            loss_perc_ir = self.loss_perceptual(ir3, hallucinated) * w["perceptual_ir"]
+
+        # frozen detector: gradients flow through activations, not params
+        det_frozen = jax.lax.stop_gradient(det_params)
+        losses_det, det_hall = self.detector.calculate_loss(
+            {"params": det_frozen}, hallucinated, targets_ir,
+            train_det=False, rng=rng,
+        )
+
+        name = self.detector.name
+        out = dict(losses_det)
+        if name == "fasterrcnn":
+            out["classification"] = losses_det["loss_classifier"]
+            out["bbox_regression"] = losses_det["loss_box_reg"]
+        out["bbox_regression"] = out["bbox_regression"] * w["det_regression"]
+        out["classification"] = out["classification"] * w["det_classification"]
+        out["loss_objectness"] = (
+            losses_det["loss_objectness"] * w["det_objectness"]
+            if name == "fasterrcnn" else 0.0
+        )
+        out["loss_rpn_box_reg"] = (
+            losses_det["loss_rpn_box_reg"] * w["det_rpn_box_reg"]
+            if name == "fasterrcnn" else 0.0
+        )
+        out["bbox_ctrness"] = (
+            losses_det["bbox_ctrness"] * w["det_bbox_ctrness"]
+            if name == "fcos" else 0.0
+        )
+        loss_det_total = (
+            out["bbox_regression"] + out["classification"]
+            + out["loss_objectness"] + out["loss_rpn_box_reg"]
+            + out["bbox_ctrness"]
+        )
+        total = (
+            loss_det_total + loss_pixel_rgb + loss_perc_rgb
+            + loss_pixel_ir + loss_perc_ir
+        )
+
+        det_rgb = det_ir = None
+        if with_baseline_detections:
+            _, det_rgb = self.detector.calculate_loss(
+                {"params": det_frozen}, imgs_rgb, targets_rgb,
+                train_det=False, rng=rng,
+            )
+            _, det_ir = self.detector.calculate_loss(
+                {"params": det_frozen}, ir3, targets_ir,
+                train_det=False, rng=rng,
+            )
+
+        logs = {
+            "total": total,
+            "pixel_rgb": loss_pixel_rgb,
+            "perceptual_rgb": loss_perc_rgb,
+            "pixel_ir": loss_pixel_ir,
+            "perceptual_ir": loss_perc_ir,
+            "det_regression": out["bbox_regression"],
+            "det_classification": out["classification"],
+            "det_objectness": out["loss_objectness"],
+            "det_rpn_box_reg": out["loss_rpn_box_reg"],
+            "det_bbox_ctrness": out["bbox_ctrness"],
+            "det_total": loss_det_total,
+        }
+        return total, new_bs, logs, (det_hall, det_rgb, det_ir), hallucinated
+
+    # ---- steps ----
+
+    def make_train_step(self) -> Callable:
+        tx = self.tx
+
+        def step(state, batch, rng):
+            ed_params, ed_bs, opt_state = state
+            imgs_rgb, t_rgb, imgs_ir, t_ir = batch
+
+            def loss_fn(p):
+                total, new_bs, logs, _, _ = self.forward_step(
+                    p, ed_bs, self.det_variables["params"],
+                    imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
+                    train=True, with_baseline_detections=False,
+                )
+                return total, (new_bs, logs)
+
+            (total, (new_bs, logs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(ed_params)
+            updates, opt_state = tx.update(grads, opt_state, ed_params)
+            ed_params = optax.apply_updates(ed_params, updates)
+            return (ed_params, new_bs, opt_state), logs
+
+        return step
+
+    def make_eval_step(self, with_baselines: bool = True) -> Callable:
+        def step(state, batch, rng):
+            ed_params, ed_bs = state[0], state[1]
+            imgs_rgb, t_rgb, imgs_ir, t_ir = batch
+            total, _, logs, dets, hall = self.forward_step(
+                ed_params, ed_bs, self.det_variables["params"],
+                imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
+                train=False, with_baseline_detections=with_baselines,
+            )
+            return total, logs, dets, hall
+
+        return step

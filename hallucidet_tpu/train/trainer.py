@@ -1,0 +1,211 @@
+"""Training orchestration: the epoch loop the reference delegates to
+pytorch_lightning.Trainer (reference: train_detector.py:377-390,
+train_hallucidet.py:494-547), TPU-native.
+
+One jitted train step per module; batches stream through the prefetching
+loader already device_put (sharded over the data mesh when one is given);
+validation computes COCO mAP host-side; ReduceLROnPlateau watches val_loss;
+EarlyStopping watches val_map; best checkpoint saved on the monitored metric.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from hallucidet_tpu.metrics import MeanAveragePrecision
+from hallucidet_tpu.train.checkpoint import CheckpointManager
+from hallucidet_tpu.train.optim import EarlyStopping, PlateauScheduler
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int,
+        ckpt: Optional[CheckpointManager] = None,
+        logger=None,
+        limit_train_batches: float = 1.0,
+        early_stopping: Optional[EarlyStopping] = None,
+        plateau: Optional[PlateauScheduler] = None,
+        seed: int = 123,
+    ):
+        self.max_epochs = max_epochs
+        self.ckpt = ckpt
+        self.logger = logger
+        self.limit_train_batches = limit_train_batches
+        self.early_stopping = early_stopping
+        self.plateau = plateau
+        self.seed = seed
+        self.global_step = 0
+
+    def _log(self, payload: Dict):
+        if self.logger is not None:
+            self.logger.log({k: _scalar(v) for k, v in payload.items()})
+
+    # ---- detector pretraining (reference: DetectorLit) ----
+
+    def fit_detector(self, module, dm) -> Dict:
+        train_step = jax.jit(module.make_train_step(), donate_argnums=0)
+        eval_step = jax.jit(module.make_eval_step())
+        state = (module.variables["params"], module.opt_state)
+        base_rng = jax.random.PRNGKey(self.seed)
+        history = {}
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            loader = dm.train_dataloader()
+            n_batches = max(1, int(len(loader) * self.limit_train_batches))
+            for bi, batch in enumerate(loader):
+                if bi >= n_batches:
+                    break
+                rng = jax.random.fold_in(base_rng, self.global_step)
+                state, logs = train_step(state, batch, rng)
+                self.global_step += 1
+                logs["train/loss/step"] = self.global_step
+                self._log(logs)
+
+            # validation
+            val_map_metric = MeanAveragePrecision()
+            val_losses = []
+            for batch in dm.val_dataloader():
+                rng = jax.random.fold_in(base_rng, 10_000_000 + epoch)
+                total, dets = eval_step(state[0], batch, rng)
+                val_losses.append(float(total))
+                val_map_metric.update_padded(dets, batch[1])
+            maps = val_map_metric.compute()
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            val_map = maps["map_50"]
+            history = {
+                "valid/metrics/map": maps["map"],
+                "valid/metrics/map_50": val_map,
+                "valid/loss/total": val_loss,
+                "valid/metrics/step": epoch,
+                "epoch_time_s": time.time() - t0,
+            }
+            self._log(history)
+
+            if self.ckpt is not None:
+                full_state = {"params": state[0]}
+                self.ckpt.maybe_save_best(full_state, val_map, epoch)
+                self.ckpt.save_last(full_state)
+            if self.plateau is not None:
+                self.plateau.step(val_loss, state[1])
+            if self.early_stopping is not None and self.early_stopping.step(val_map):
+                break
+
+        module.variables = {"params": state[0]}
+        module.opt_state = state[1]
+        return history
+
+    def test_detector(self, module, dm, params=None) -> Dict:
+        eval_step = jax.jit(module.make_eval_step())
+        params = params if params is not None else module.variables["params"]
+        metric = MeanAveragePrecision()
+        rng = jax.random.PRNGKey(self.seed + 999)
+        for batch in dm.test_dataloader():
+            _, dets = eval_step(params, batch, rng)
+            metric.update_padded(dets, batch[1])
+        return metric.compute()
+
+    # ---- hallucidet training (reference: EncoderDecoderLit) ----
+
+    def fit_hallucidet(self, module, dm) -> Dict:
+        train_step = jax.jit(module.make_train_step(), donate_argnums=0)
+        eval_step = jax.jit(module.make_eval_step(with_baselines=True))
+        state = (
+            module.ed_variables["params"],
+            module.ed_variables.get("batch_stats", {}),
+            module.opt_state,
+        )
+        base_rng = jax.random.PRNGKey(self.seed)
+        history = {}
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            loader = dm.train_dataloader()
+            n_batches = max(1, int(len(loader) * self.limit_train_batches))
+            for bi, batch in enumerate(loader):
+                if bi >= n_batches:
+                    break
+                rng = jax.random.fold_in(base_rng, self.global_step)
+                state, logs = train_step(state, batch, rng)
+                self.global_step += 1
+                payload = {f"train/loss/{k}": v for k, v in logs.items()}
+                payload["train/loss/step"] = self.global_step
+                self._log(payload)
+
+            map_hall = MeanAveragePrecision()
+            map_rgb = MeanAveragePrecision()
+            map_ir = MeanAveragePrecision()
+            val_losses = []
+            for batch in dm.val_dataloader():
+                rng = jax.random.fold_in(base_rng, 10_000_000 + epoch)
+                total, logs, (d_hall, d_rgb, d_ir), _ = eval_step(state, batch, rng)
+                val_losses.append(float(total))
+                _, t_rgb, _, t_ir = batch
+                map_hall.update_padded(d_hall, t_ir)
+                map_rgb.update_padded(d_rgb, t_rgb)
+                map_ir.update_padded(d_ir, t_ir)
+            maps_hall = map_hall.compute()
+            maps_rgb = map_rgb.compute()
+            maps_ir = map_ir.compute()
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            history = {
+                "valid/metrics/map_hall": maps_hall["map_50"],
+                "valid/metrics/map_rgb": maps_rgb["map_50"],
+                "valid/metrics/map_ir": maps_ir["map_50"],
+                "valid/loss/total": val_loss,
+                "valid/metrics/step": epoch,
+                "epoch_time_s": time.time() - t0,
+            }
+            self._log(history)
+
+            if self.ckpt is not None:
+                full_state = {"params": state[0], "batch_stats": state[1]}
+                self.ckpt.maybe_save_best(
+                    full_state, maps_hall["map_50"], epoch
+                )
+                self.ckpt.save_last(full_state)
+            if self.plateau is not None:
+                self.plateau.step(val_loss, state[2])
+            if self.early_stopping is not None and self.early_stopping.step(
+                maps_hall["map_50"]
+            ):
+                break
+
+        module.ed_variables = {"params": state[0], "batch_stats": state[1]}
+        module.opt_state = state[2]
+        return history
+
+    def test_hallucidet(self, module, dm, state=None) -> Dict:
+        eval_step = jax.jit(module.make_eval_step(with_baselines=True))
+        if state is None:
+            state = (
+                module.ed_variables["params"],
+                module.ed_variables.get("batch_stats", {}),
+            )
+        map_hall, map_rgb, map_ir = (
+            MeanAveragePrecision(), MeanAveragePrecision(), MeanAveragePrecision(),
+        )
+        rng = jax.random.PRNGKey(self.seed + 555)
+        for batch in dm.test_dataloader():
+            _, _, (d_hall, d_rgb, d_ir), _ = eval_step(state, batch, rng)
+            _, t_rgb, _, t_ir = batch
+            map_hall.update_padded(d_hall, t_ir)
+            map_rgb.update_padded(d_rgb, t_rgb)
+            map_ir.update_padded(d_ir, t_ir)
+        return {
+            "map_hall": map_hall.compute(),
+            "map_rgb": map_rgb.compute(),
+            "map_ir": map_ir.compute(),
+        }
+
+
+def _scalar(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
