@@ -66,11 +66,26 @@ def main():
     out = fused_jit(ed_vars, det_vars, ir)
     jax.block_until_ready(out)
 
+    # Chain a data dependency between iterations: the runtime memoizes
+    # bit-identical dispatches, so same-input loops measure nothing.
+    def chained(ed_v, det_v, ir, salt):
+        boxes, scores, valid = fused(ed_v, det_v, ir + salt * 1e-6)
+        return boxes, scores, valid, jnp.sum(scores) * 1e-9
+
+    chained_jit = jax.jit(chained)
+    salt = jnp.float32(0.0)
+    out = chained_jit(ed_vars, det_vars, ir, salt)
+    jax.block_until_ready(out)
+
+    # NOTE: on the axon relay block_until_ready is a no-op; a host fetch is
+    # the only real synchronization point.
+    float(out[-1] if isinstance(out, tuple) else out[0].sum())
+
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fused_jit(ed_vars, det_vars, ir)
-    jax.block_until_ready(out)
+        *dets, salt = chained_jit(ed_vars, det_vars, ir, salt)
+    _ = float(salt)  # host fetch = device sync
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * iters / dt
 
