@@ -64,6 +64,7 @@ def conv(
     padding: int | str = 0,
     use_bias: bool = True,
     groups: int = 1,
+    dilation: int = 1,
     name: Optional[str] = None,
 ) -> nn.Conv:
     """3x3/1x1/7x7 conv with torch-style integer padding, NHWC/HWIO."""
@@ -76,6 +77,7 @@ def conv(
         padding=padding,
         use_bias=use_bias,
         feature_group_count=groups,
+        kernel_dilation=(dilation, dilation),
         name=name,
     )
 

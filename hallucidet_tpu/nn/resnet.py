@@ -32,14 +32,18 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     frozen_bn: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
-        out = conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+        d = self.dilation
+        out = conv(
+            self.planes, 3, self.stride, d, use_bias=False, dilation=d, name="conv1"
+        )(x)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = conv(self.planes, 3, 1, d, use_bias=False, dilation=d, name="conv2")(out)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
         if self.downsample:
             identity = conv(
@@ -57,16 +61,20 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     frozen_bn: bool = False
     expansion: int = 4
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out_ch = self.planes * self.expansion
+        d = self.dilation
         out = conv(self.planes, 1, 1, 0, use_bias=False, name="conv1")(x)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
         out = nn.relu(out)
         # stride lives on the 3x3 (torchvision placement)
-        out = conv(self.planes, 3, self.stride, 1, use_bias=False, name="conv2")(out)
+        out = conv(
+            self.planes, 3, self.stride, d, use_bias=False, dilation=d, name="conv2"
+        )(out)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
         out = nn.relu(out)
         out = conv(out_ch, 1, 1, 0, use_bias=False, name="conv3")(out)
@@ -112,12 +120,17 @@ class ResNet(nn.Module):
 
     arch: str = "resnet50"
     frozen_bn: bool = False
+    # 32 (default), 16 or 8: smaller strides replace the last layers' stride
+    # with dilation (smp make_dilated semantics, reference:
+    # src/segmentation_models/encoders/_base.py / _utils.py:41-51)
+    output_stride: int = 32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> List[jnp.ndarray]:
         block_cls, layer_sizes, expansion = RESNET_SPECS[self.arch]
+        dilate_from = {32: 5, 16: 4, 8: 3}[self.output_stride]
         features = [x]
 
         out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
@@ -129,15 +142,25 @@ class ResNet(nn.Module):
             out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
         planes = 64
+        dilation = 1
         for li, n_blocks in enumerate(layer_sizes, start=1):
             stride = 1 if li == 1 else 2
+            if li + 1 > dilate_from:  # this layer trades stride for dilation
+                dilation *= stride
+                stride = 1
             for bi in range(n_blocks):
-                needs_ds = bi == 0 and (stride != 1 or li == 1 and expansion != 1)
+                # downsample when the block changes stride or channel count
+                needs_ds = bi == 0 and (
+                    stride != 1
+                    or (li == 1 and expansion != 1)
+                    or (li + 1 > dilate_from)
+                )
                 out = block_cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
                     downsample=needs_ds,
                     frozen_bn=self.frozen_bn,
+                    dilation=dilation,
                     name=f"layer{li}_{bi}",
                 )(out, train)
             features.append(out)

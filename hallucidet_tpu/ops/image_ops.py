@@ -62,6 +62,62 @@ def resize_bilinear(
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_align_corners(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] bilinear weights with align_corners=True mapping."""
+    out = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        out[:, 0] = 1.0
+        return out
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        src = i * scale
+        x0 = int(np.floor(src))
+        frac = src - x0
+        lo = min(x0, in_size - 1)
+        hi = min(x0 + 1, in_size - 1)
+        out[i, lo] += 1.0 - frac
+        out[i, hi] += frac
+    return out
+
+
+def resize_bilinear_align_corners(
+    images: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (torch F.interpolate semantics
+    used by the smp FPN/PSP/PAN decoders), NHWC, MXU matmuls."""
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return images
+    mh = jnp.asarray(_interp_matrix_align_corners(h, oh), images.dtype)
+    mw = jnp.asarray(_interp_matrix_align_corners(w, ow), images.dtype)
+    prec = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("bhwc,oh->bowc", images, mh, precision=prec)
+    return jnp.einsum("bhwc,ow->bhoc", x, mw, precision=prec)
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d semantics (variable floor/ceil windows),
+    NHWC, expressed as two averaging matrices (MXU-friendly)."""
+
+    @functools.lru_cache(maxsize=None)
+    def pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+        m = np.zeros((out_size, in_size), np.float32)
+        for i in range(out_size):
+            start = (i * in_size) // out_size
+            end = -(-((i + 1) * in_size) // out_size)  # ceil
+            m[i, start:end] = 1.0 / (end - start)
+        return m
+
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    mh = jnp.asarray(pool_matrix(h, oh), x.dtype)
+    mw = jnp.asarray(pool_matrix(w, ow), x.dtype)
+    y = jnp.einsum("bhwc,oh->bowc", x, mh)
+    return jnp.einsum("bhwc,ow->bhoc", y, mw)
+
+
 def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Deterministic nearest-neighbor 2x/kx upsample, NHWC.
 

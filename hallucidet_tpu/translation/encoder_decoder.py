@@ -16,10 +16,14 @@ import jax.numpy as jnp
 from hallucidet_tpu.ops.image_ops import imagenet_normalize
 from hallucidet_tpu.translation.unet import Unet
 
-_ARCHS = {
+_UNET_ARCHS = {
     "unet": dict(use_skips=True),
     "unetmodified": dict(use_skips=False),
 }
+_ZOO_ARCHS = (
+    "unetplusplus", "manet", "linknet", "fpn", "pspnet", "pan",
+    "deeplabv3", "deeplabv3plus",
+)
 
 
 def create_model(
@@ -29,16 +33,26 @@ def create_model(
     classes: int = 3,
     **kwargs: Any,
 ):
-    """smp-style factory. `in_channels` must be 3 (IR input is expanded
-    1ch->3ch upstream, reference: src/utils/utils.py:51-53)."""
-    arch = arch.lower()
-    if arch not in _ARCHS:
-        raise ValueError(
-            f"unknown translation arch '{arch}'; available: {sorted(_ARCHS)}"
-        )
+    """smp-style factory over the full decoder zoo (reference:
+    src/segmentation_models/__init__.py:24-64). `in_channels` must be 3 (IR
+    input is expanded 1ch->3ch upstream, reference: src/utils/utils.py:51-53)."""
+    arch = arch.lower().replace("++", "plusplus")
     if in_channels != 3:
         raise NotImplementedError("in_channels != 3 not supported yet")
-    return Unet(encoder_name=encoder_name, classes=classes, **_ARCHS[arch], **kwargs)
+    if arch in _UNET_ARCHS:
+        return Unet(
+            encoder_name=encoder_name, classes=classes, **_UNET_ARCHS[arch], **kwargs
+        )
+    if arch in _ZOO_ARCHS:
+        from hallucidet_tpu.translation.models import SegmentationModel
+
+        return SegmentationModel(
+            arch=arch, encoder_name=encoder_name, classes=classes, **kwargs
+        )
+    raise ValueError(
+        f"unknown translation arch '{arch}'; available: "
+        f"{sorted(_UNET_ARCHS) + sorted(_ZOO_ARCHS)}"
+    )
 
 
 class EncoderDecoder:

@@ -1,0 +1,117 @@
+"""Segmentation loss/metric tests against hand-computed values."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hallucidet_tpu.translation import seg_losses as L
+from hallucidet_tpu.translation import seg_metrics as M
+
+
+def logits_from_probs(p):
+    p = np.clip(p, 1e-6, 1 - 1e-6)
+    return np.log(p / (1 - p))
+
+
+def test_dice_perfect_and_half():
+    # perfect prediction -> loss ~ 0
+    target = np.zeros((1, 4, 4, 1), np.float32)
+    target[0, :2] = 1.0
+    logits = jnp.asarray(logits_from_probs(target))
+    loss = L.DiceLoss("binary")(logits, jnp.asarray(target))
+    assert float(loss) < 1e-3
+    # all-ones prediction on half-ones target: dice = 2*8/(16+8) = 2/3
+    ones = jnp.asarray(logits_from_probs(np.ones_like(target)))
+    loss2 = L.DiceLoss("binary")(ones, jnp.asarray(target))
+    np.testing.assert_allclose(float(loss2), 1 - 2 * 8 / 24, atol=1e-3)
+
+
+def test_jaccard_matches_definition():
+    target = np.zeros((1, 4, 4, 1), np.float32)
+    target[0, :2] = 1.0
+    ones = jnp.asarray(logits_from_probs(np.ones_like(target)))
+    # IoU = 8 / 16
+    loss = L.JaccardLoss("binary")(ones, jnp.asarray(target))
+    np.testing.assert_allclose(float(loss), 1 - 0.5, atol=1e-3)
+
+
+def test_tversky_reduces_to_dice():
+    rng = np.random.RandomState(0)
+    target = (rng.rand(2, 8, 8, 1) > 0.5).astype(np.float32)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32))
+    d = L.DiceLoss("binary")(logits, jnp.asarray(target))
+    t = L.TverskyLoss("binary", alpha=0.5, beta=0.5)(logits, jnp.asarray(target))
+    np.testing.assert_allclose(float(d), float(t), atol=1e-5)
+
+
+def test_multiclass_dice_shapes():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, 3, (2, 8, 8)))
+    loss = L.DiceLoss("multiclass")(logits, target)
+    assert np.isfinite(float(loss)) and 0 <= float(loss) <= 1
+
+
+def test_focal_equals_ce_at_gamma0():
+    rng = np.random.RandomState(2)
+    logits = rng.randn(2, 8, 8, 1).astype(np.float32)
+    target = (rng.rand(2, 8, 8, 1) > 0.5).astype(np.float32)
+    focal = L.focal_loss_with_logits(
+        jnp.asarray(logits), jnp.asarray(target), gamma=0.0, alpha=None
+    )
+    bce = np.mean(
+        np.maximum(logits, 0) - logits * target + np.log1p(np.exp(-np.abs(logits)))
+    )
+    np.testing.assert_allclose(float(focal), bce, atol=1e-5)
+
+
+def test_soft_ce_label_smoothing():
+    logits = jnp.asarray(np.array([[[10.0, -10.0]]]))  # [1,1,2]
+    target = jnp.asarray(np.array([[0]]))
+    l0 = L.SoftCrossEntropyLoss(smooth_factor=0.0)(logits, target)
+    assert float(l0) < 1e-3
+    ls = L.SoftCrossEntropyLoss(smooth_factor=0.2)(logits, target)
+    assert float(ls) > float(l0)
+
+
+def test_lovasz_perfect_is_zero():
+    target = np.zeros((1, 4, 4, 1), np.float32)
+    target[0, :2] = 1.0
+    logits = jnp.asarray((target * 2 - 1) * 10.0)
+    loss = L.LovaszLoss("binary")(logits, jnp.asarray(target))
+    assert float(loss) < 1e-3
+
+
+def test_mcc_loss_bounds():
+    target = np.zeros((1, 4, 4, 1), np.float32)
+    target[0, :2] = 1.0
+    good = jnp.asarray(logits_from_probs(target))
+    bad = jnp.asarray(logits_from_probs(1 - target))
+    assert float(L.MCCLoss()(good, jnp.asarray(target))) < 0.01
+    assert float(L.MCCLoss()(bad, jnp.asarray(target))) > 1.9
+
+
+def test_get_stats_binary_and_metrics():
+    out = np.array([[[1, 0], [1, 1]]])[:, None]  # [1,1,2,2]
+    tgt = np.array([[[1, 1], [0, 1]]])[:, None]
+    tp, fp, fn, tn = M.get_stats(jnp.asarray(out), jnp.asarray(tgt), "binary")
+    assert (int(tp[0, 0]), int(fp[0, 0]), int(fn[0, 0]), int(tn[0, 0])) == (2, 1, 1, 0)
+    iou = M.iou_score(tp, fp, fn, tn, reduction="micro")
+    np.testing.assert_allclose(float(iou), 2 / 4, atol=1e-6)
+    f1 = M.f1_score(tp, fp, fn, tn, reduction="micro")
+    np.testing.assert_allclose(float(f1), 2 * 2 / (2 * 2 + 1 + 1), atol=1e-6)
+    acc = M.accuracy(tp, fp, fn, tn, reduction="micro")
+    np.testing.assert_allclose(float(acc), 2 / 4, atol=1e-6)
+
+
+def test_get_stats_multiclass():
+    out = np.array([[0, 1, 2, 1]])
+    tgt = np.array([[0, 1, 1, 1]])
+    tp, fp, fn, tn = M.get_stats(
+        jnp.asarray(out), jnp.asarray(tgt), "multiclass", num_classes=3
+    )
+    np.testing.assert_array_equal(np.asarray(tp)[0], [1, 2, 0])
+    np.testing.assert_array_equal(np.asarray(fp)[0], [0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(fn)[0], [0, 1, 0])
+    # sensitivity per class: [1, 2/3, 0]; macro = mean
+    sens = M.sensitivity(tp, fp, fn, tn, reduction="macro")
+    np.testing.assert_allclose(float(sens), (1 + 2 / 3 + 0) / 3, atol=1e-5)
