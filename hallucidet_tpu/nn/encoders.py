@@ -1,0 +1,518 @@
+"""Encoder-family zoo + registry (the smp `encoders/` surface).
+
+Rebuild of the reference's vendored encoder families (reference:
+src/segmentation_models/encoders/: resnet.py (incl. resnext), vgg.py,
+mobilenet.py, densenet.py, efficientnet.py, mix_transformer.py, plus the
+registry/get_encoder machinery of encoders/__init__.py:26-85 and the
+EncoderMixin behaviors of _base.py: staged features, make_dilated via
+output_stride, set_in_channels via patch_first_conv).
+
+Every encoder returns the smp staged-feature list (6 entries, deepest last).
+ResNet-family lists start with the input tensor; VGG starts at full-res conv
+features; MiT pads a zero-channel dummy at stage 1 — all exactly as the
+reference slices them, so decoder channel wiring matches checkpoint-for-
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hallucidet_tpu.nn.layers import BatchNorm, conv
+from hallucidet_tpu.nn.resnet import ENCODER_OUT_CHANNELS, ResNet
+
+IMAGENET_PREPROCESS = {"mean": (0.485, 0.456, 0.406), "std": (0.229, 0.224, 0.225)}
+
+
+def preprocess_input(x, mean=None, std=None, input_space="RGB", input_range=(0, 1)):
+    """(reference: encoders/_preprocessing.py:4-21)"""
+    if input_space == "BGR":
+        x = x[..., ::-1]
+    if input_range is not None and x.max() > 1 and input_range[1] == 1:
+        x = x / 255.0
+    if mean is not None:
+        x = x - jnp.asarray(mean)
+    if std is not None:
+        x = x / jnp.asarray(std)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# VGG (reference: encoders/vgg.py) — stages split at MaxPool boundaries,
+# each stage *starts* with the previous boundary's pool.
+# ---------------------------------------------------------------------------
+
+_VGG_CFG = {
+    "vgg11": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg13": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+              512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+class VGGEncoder(nn.Module):
+    cfg_name: str = "vgg16"
+    batch_norm: bool = False
+    output_stride: int = 32  # dilation unsupported (pooling), like the reference
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.output_stride != 32:
+            raise ValueError("VGG encoders do not support dilated mode")
+        cfg = _VGG_CFG[self.cfg_name.replace("_bn", "")]
+        features = []
+        idx = 0
+        for item in cfg:
+            if item == "M":
+                features.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = conv(item, 3, 1, 1, name=f"conv_{idx}")(x)
+                if self.batch_norm:
+                    x = BatchNorm(item, name=f"bn_{idx}")(x, train)
+                x = nn.relu(x)
+                idx += 1
+        features.append(x)
+        return features
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (reference: encoders/mobilenet.py; stages [:2],[2:4],[4:7],
+# [7:14],[14:])
+# ---------------------------------------------------------------------------
+
+
+class InvertedResidual(nn.Module):
+    out_ch: int
+    stride: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expand
+        y = x
+        if self.expand != 1:
+            y = conv(hidden, 1, use_bias=False, name="expand")(y)
+            y = BatchNorm(hidden, name="expand_bn")(y, train)
+            y = nn.relu6(y)
+        y = conv(
+            hidden, 3, self.stride, 1, use_bias=False, groups=hidden, name="dw"
+        )(y)
+        y = BatchNorm(hidden, name="dw_bn")(y, train)
+        y = nn.relu6(y)
+        y = conv(self.out_ch, 1, use_bias=False, name="project")(y)
+        y = BatchNorm(self.out_ch, name="project_bn")(y, train)
+        if self.stride == 1 and in_ch == self.out_ch:
+            y = y + x
+        return y
+
+
+_MBV2_SETTING = [
+    # t, c, n, s
+    (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+    (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+]
+
+
+class MobileNetV2Encoder(nn.Module):
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        features = [x]
+        # stem = features[0]
+        y = conv(32, 3, 2, 1, use_bias=False, name="stem")(x)
+        y = BatchNorm(32, name="stem_bn")(y, train)
+        y = nn.relu6(y)
+        block_idx = 1
+        # smp stage boundaries in torchvision feature indices: 2, 4, 7, 14, 18
+        boundaries = {2, 4, 7, 14}
+        feat_idx = 1
+        for t, c, n, s in _MBV2_SETTING:
+            for i in range(n):
+                if feat_idx in boundaries:
+                    features.append(y)
+                y = InvertedResidual(
+                    c, s if i == 0 else 1, t, name=f"block_{block_idx}"
+                )(y, train)
+                block_idx += 1
+                feat_idx += 1
+        if feat_idx in boundaries:
+            features.append(y)
+        # final 1x1 conv to 1280 (torchvision features[18])
+        y = conv(1280, 1, use_bias=False, name="head")(y)
+        y = BatchNorm(1280, name="head_bn")(y, train)
+        y = nn.relu6(y)
+        features.append(y)
+        return features
+
+
+# ---------------------------------------------------------------------------
+# DenseNet (reference: encoders/densenet.py; transitions yield pre-pool skips)
+# ---------------------------------------------------------------------------
+
+_DENSENET_BLOCKS = {
+    "densenet121": (6, 12, 24, 16),
+    "densenet169": (6, 12, 32, 32),
+    "densenet201": (6, 12, 48, 32),
+}
+
+
+class DenseLayer(nn.Module):
+    growth: int = 32
+    bn_size: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = BatchNorm(x.shape[-1], name="norm1")(x, train)
+        y = nn.relu(y)
+        y = conv(self.bn_size * self.growth, 1, use_bias=False, name="conv1")(y)
+        y = BatchNorm(y.shape[-1], name="norm2")(y, train)
+        y = nn.relu(y)
+        y = conv(self.growth, 3, 1, 1, use_bias=False, name="conv2")(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseNetEncoder(nn.Module):
+    arch: str = "densenet121"
+    growth: int = 32
+    init_features: int = 64
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.output_stride != 32:
+            raise ValueError(
+                "DenseNet encoders do not support dilated mode due to pooling"
+            )
+        blocks = _DENSENET_BLOCKS[self.arch]
+        features = [x]
+        y = conv(self.init_features, 7, 2, 3, use_bias=False, name="conv0")(x)
+        y = BatchNorm(self.init_features, name="norm0")(y, train)
+        y = nn.relu(y)
+        features.append(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for bi, n_layers in enumerate(blocks, start=1):
+            for li in range(n_layers):
+                y = DenseLayer(self.growth, name=f"db{bi}_l{li}")(y, train)
+            if bi < len(blocks):
+                # transition: norm+relu (skip taken here) -> conv1x1/2 -> pool
+                y = BatchNorm(y.shape[-1], name=f"trans{bi}_norm")(y, train)
+                y = nn.relu(y)
+                features.append(y)  # pre-downsample skip
+                y = conv(y.shape[-1] // 2, 1, use_bias=False, name=f"trans{bi}_conv")(y)
+                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+            else:
+                y = BatchNorm(y.shape[-1], name="norm5")(y, train)
+                features.append(y)
+        return features
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet B0-B2 (reference: encoders/efficientnet.py; stage_idxs split)
+# ---------------------------------------------------------------------------
+
+_EFFNET_BASE = [
+    # expand, channels, repeats, stride, kernel
+    (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3),
+]
+_EFFNET_SCALE = {
+    # width, depth, smp stage_idxs (feature collected before these block idxs)
+    "efficientnet-b0": (1.0, 1.0, (3, 5, 9, 16)),
+    "efficientnet-b1": (1.0, 1.1, (5, 8, 16, 23)),
+    "efficientnet-b2": (1.1, 1.2, (5, 8, 16, 23)),
+}
+
+
+def _round_filters(ch, width):
+    ch *= width
+    new = max(8, int(ch + 4) // 8 * 8)
+    if new < 0.9 * ch:
+        new += 8
+    return int(new)
+
+
+def _round_repeats(r, depth):
+    return int(math.ceil(depth * r))
+
+
+class MBConv(nn.Module):
+    out_ch: int
+    stride: int
+    expand: int
+    kernel: int = 3
+    se_ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expand
+        y = x
+        if self.expand != 1:
+            y = conv(hidden, 1, use_bias=False, name="expand")(y)
+            y = BatchNorm(hidden, name="expand_bn")(y, train)
+            y = nn.silu(y)
+        y = conv(
+            hidden, self.kernel, self.stride, self.kernel // 2,
+            use_bias=False, groups=hidden, name="dw",
+        )(y)
+        y = BatchNorm(hidden, name="dw_bn")(y, train)
+        y = nn.silu(y)
+        # squeeze-excite on input-channel basis
+        se_ch = max(1, int(in_ch * self.se_ratio))
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = conv(se_ch, 1, name="se_reduce")(s)
+        s = nn.silu(s)
+        s = conv(hidden, 1, name="se_expand")(s)
+        y = y * jax.nn.sigmoid(s)
+        y = conv(self.out_ch, 1, use_bias=False, name="project")(y)
+        y = BatchNorm(self.out_ch, name="project_bn")(y, train)
+        if self.stride == 1 and in_ch == self.out_ch:
+            y = y + x
+        return y
+
+
+class EfficientNetEncoder(nn.Module):
+    arch: str = "efficientnet-b0"
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        width, depth, stage_idxs = _EFFNET_SCALE[self.arch]
+        features = [x]
+        stem_ch = _round_filters(32, width)
+        y = conv(stem_ch, 3, 2, 1, use_bias=False, name="stem")(x)
+        y = BatchNorm(stem_ch, name="stem_bn")(y, train)
+        y = nn.silu(y)
+        features.append(y)
+        bi = 0
+        for expand, ch, reps, stride, kernel in _EFFNET_BASE:
+            out_ch = _round_filters(ch, width)
+            for i in range(_round_repeats(reps, depth)):
+                if bi in stage_idxs[:-1]:  # smp stage boundary
+                    features.append(y)
+                s = stride if i == 0 else 1
+                y = MBConv(out_ch, s, expand, kernel, name=f"block_{bi}")(y, train)
+                bi += 1
+        features.append(y)
+        return features[:6]
+
+
+# ---------------------------------------------------------------------------
+# Mix Vision Transformer (SegFormer MiT; reference: encoders/mix_transformer.py)
+# ---------------------------------------------------------------------------
+
+_MIT_CFG = {
+    "mit_b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
+    "mit_b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
+    "mit_b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3)),
+}
+_MIT_HEADS = (1, 2, 5, 8)
+_MIT_SR = (8, 4, 2, 1)
+
+
+class EfficientSelfAttention(nn.Module):
+    dim: int
+    heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        h, w = hw
+        b, n, c = x.shape
+        q = nn.Dense(self.dim, name="q")(x).reshape(
+            b, n, self.heads, c // self.heads
+        )
+        kv_in = x
+        if self.sr_ratio > 1:
+            spatial = x.reshape(b, h, w, c)
+            spatial = conv(
+                self.dim, self.sr_ratio, self.sr_ratio, 0, name="sr"
+            )(spatial)
+            kv_in = nn.LayerNorm(name="sr_norm")(
+                spatial.reshape(b, -1, c)
+            )
+        k = nn.Dense(self.dim, name="k")(kv_in).reshape(
+            b, -1, self.heads, c // self.heads
+        )
+        v = nn.Dense(self.dim, name="v")(kv_in).reshape(
+            b, -1, self.heads, c // self.heads
+        )
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(c // self.heads)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    dim: int
+    ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, hw):
+        h, w = hw
+        b, n, c = x.shape
+        hidden = self.dim * self.ratio
+        y = nn.Dense(hidden, name="fc1")(x)
+        # depthwise 3x3 on the spatial layout (the "Mix" part)
+        y = y.reshape(b, h, w, hidden)
+        y = conv(hidden, 3, 1, 1, groups=hidden, name="dwconv")(y)
+        y = y.reshape(b, n, hidden)
+        y = nn.gelu(y)
+        return nn.Dense(self.dim, name="fc2")(y)
+
+
+class MiTBlock(nn.Module):
+    dim: int
+    heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        y = nn.LayerNorm(name="norm1")(x)
+        x = x + EfficientSelfAttention(
+            self.dim, self.heads, self.sr_ratio, name="attn"
+        )(y, hw)
+        y = nn.LayerNorm(name="norm2")(x)
+        x = x + MixFFN(self.dim, name="mlp")(y, hw)
+        return x
+
+
+class MixVisionTransformerEncoder(nn.Module):
+    arch: str = "mit_b0"
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        cfg = _MIT_CFG[self.arch]
+        b, h0, w0, _ = x.shape
+        # smp pads a zero-channel dummy for the stride-2 stage
+        dummy = jnp.zeros((b, h0 // 2, w0 // 2, 0), x.dtype)
+        features = [x, dummy]
+        y = x
+        for si, (dim, depth) in enumerate(zip(cfg["dims"], cfg["depths"])):
+            patch = 7 if si == 0 else 3
+            stride = 4 if si == 0 else 2
+            y = conv(dim, patch, stride, patch // 2, name=f"patch_embed{si}")(y)
+            bh, bw = y.shape[1:3]
+            y = nn.LayerNorm(name=f"embed_norm{si}")(y.reshape(b, -1, dim))
+            for bi in range(depth):
+                y = MiTBlock(
+                    dim, _MIT_HEADS[si], _MIT_SR[si], name=f"stage{si}_block{bi}"
+                )(y, (bh, bw))
+            y = nn.LayerNorm(name=f"stage_norm{si}")(y)
+            y = y.reshape(b, bh, bw, dim)
+            features.append(y)
+        return features[:6]
+
+
+# ---------------------------------------------------------------------------
+# registry (reference: encoders/__init__.py:26-85)
+# ---------------------------------------------------------------------------
+
+ENCODER_REGISTRY = {
+    # name -> (factory, out_channels, needs_center)
+    **{
+        name: ((lambda n: (lambda output_stride=32: ResNet(
+            arch=n, output_stride=output_stride)))(name),
+            ENCODER_OUT_CHANNELS[name], False)
+        for name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+    },
+    "resnext50_32x4d": (
+        lambda output_stride=32: ResNet(
+            arch="resnext50_32x4d", output_stride=output_stride
+        ),
+        (3, 64, 256, 512, 1024, 2048), False,
+    ),
+    **{
+        name: ((lambda n, bn: (lambda output_stride=32: VGGEncoder(
+            cfg_name=n, batch_norm=bn, output_stride=output_stride)))(
+                name.replace("_bn", ""), name.endswith("_bn")),
+            (64, 128, 256, 512, 512, 512), True)
+        for name in ("vgg11", "vgg13", "vgg16", "vgg19",
+                     "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")
+    },
+    "mobilenet_v2": (
+        lambda output_stride=32: MobileNetV2Encoder(output_stride=output_stride),
+        (3, 16, 24, 32, 96, 1280), False,
+    ),
+    "densenet121": (
+        lambda output_stride=32: DenseNetEncoder(
+            arch="densenet121", output_stride=output_stride
+        ),
+        (3, 64, 256, 512, 1024, 1024), False,
+    ),
+    "densenet169": (
+        lambda output_stride=32: DenseNetEncoder(
+            arch="densenet169", output_stride=output_stride
+        ),
+        (3, 64, 256, 512, 1280, 1664), False,
+    ),
+    "densenet201": (
+        lambda output_stride=32: DenseNetEncoder(
+            arch="densenet201", output_stride=output_stride
+        ),
+        (3, 64, 256, 512, 1792, 1920), False,
+    ),
+    "efficientnet-b0": (
+        lambda output_stride=32: EfficientNetEncoder(
+            arch="efficientnet-b0", output_stride=output_stride
+        ),
+        (3, 32, 24, 40, 112, 320), False,
+    ),
+    "efficientnet-b1": (
+        lambda output_stride=32: EfficientNetEncoder(
+            arch="efficientnet-b1", output_stride=output_stride
+        ),
+        (3, 32, 24, 40, 112, 320), False,
+    ),
+    "efficientnet-b2": (
+        lambda output_stride=32: EfficientNetEncoder(
+            arch="efficientnet-b2", output_stride=output_stride
+        ),
+        (3, 32, 24, 48, 120, 352), False,
+    ),
+    "mit_b0": (
+        lambda output_stride=32: MixVisionTransformerEncoder(
+            arch="mit_b0", output_stride=output_stride
+        ),
+        (3, 0, 32, 64, 160, 256), False,
+    ),
+    "mit_b1": (
+        lambda output_stride=32: MixVisionTransformerEncoder(
+            arch="mit_b1", output_stride=output_stride
+        ),
+        (3, 0, 64, 128, 320, 512), False,
+    ),
+    "mit_b2": (
+        lambda output_stride=32: MixVisionTransformerEncoder(
+            arch="mit_b2", output_stride=output_stride
+        ),
+        (3, 0, 64, 128, 320, 512), False,
+    ),
+}
+
+
+def get_encoder(name: str, output_stride: int = 32):
+    """-> (flax module, out_channels tuple, needs_center). The module's
+    __call__(x, train) returns the staged feature list."""
+    if name not in ENCODER_REGISTRY:
+        raise KeyError(
+            f"Wrong encoder name `{name}`, supported encoders: "
+            f"{sorted(ENCODER_REGISTRY)}"
+        )
+    factory, channels, needs_center = ENCODER_REGISTRY[name]
+    return factory(output_stride=output_stride), channels, needs_center
+
+
+def encoder_names():
+    return sorted(ENCODER_REGISTRY)

@@ -62,20 +62,24 @@ class Bottleneck(nn.Module):
     frozen_bn: bool = False
     expansion: int = 4
     dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out_ch = self.planes * self.expansion
         d = self.dilation
-        out = conv(self.planes, 1, 1, 0, use_bias=False, name="conv1")(x)
-        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out = conv(width, 1, 1, 0, use_bias=False, name="conv1")(x)
+        out = _apply_norm(_norm(self.frozen_bn, width, "bn1"), out, train)
         out = nn.relu(out)
         # stride lives on the 3x3 (torchvision placement)
         out = conv(
-            self.planes, 3, self.stride, d, use_bias=False, dilation=d, name="conv2"
+            width, 3, self.stride, d, use_bias=False, dilation=d,
+            groups=self.groups, name="conv2",
         )(out)
-        out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
+        out = _apply_norm(_norm(self.frozen_bn, width, "bn2"), out, train)
         out = nn.relu(out)
         out = conv(out_ch, 1, 1, 0, use_bias=False, name="conv3")(out)
         out = _apply_norm(_norm(self.frozen_bn, out_ch, "bn3"), out, train)
@@ -96,11 +100,14 @@ def _apply_norm(mod, x, train):
 
 
 RESNET_SPECS = {
-    "resnet18": (BasicBlock, (2, 2, 2, 2), 1),
-    "resnet34": (BasicBlock, (3, 4, 6, 3), 1),
-    "resnet50": (Bottleneck, (3, 4, 6, 3), 4),
-    "resnet101": (Bottleneck, (3, 4, 23, 3), 4),
-    "resnet152": (Bottleneck, (3, 8, 36, 3), 4),
+    # block, layer sizes, expansion, groups, base_width
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1, 1, 64),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1, 1, 64),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 4, 1, 64),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 4, 1, 64),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), 4, 1, 64),
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 4, 32, 4),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 4, 32, 8),
 }
 
 # smp encoder out_channels, index 0 = the input itself.
@@ -110,6 +117,8 @@ ENCODER_OUT_CHANNELS = {
     "resnet50": (3, 64, 256, 512, 1024, 2048),
     "resnet101": (3, 64, 256, 512, 1024, 2048),
     "resnet152": (3, 64, 256, 512, 1024, 2048),
+    "resnext50_32x4d": (3, 64, 256, 512, 1024, 2048),
+    "resnext101_32x8d": (3, 64, 256, 512, 1024, 2048),
 }
 
 
@@ -129,7 +138,9 @@ class ResNet(nn.Module):
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> List[jnp.ndarray]:
-        block_cls, layer_sizes, expansion = RESNET_SPECS[self.arch]
+        block_cls, layer_sizes, expansion, groups, base_width = RESNET_SPECS[
+            self.arch
+        ]
         dilate_from = {32: 5, 16: 4, 8: 3}[self.output_stride]
         features = [x]
 
@@ -155,6 +166,11 @@ class ResNet(nn.Module):
                     or (li == 1 and expansion != 1)
                     or (li + 1 > dilate_from)
                 )
+                kwargs = (
+                    dict(groups=groups, base_width=base_width)
+                    if block_cls is Bottleneck
+                    else {}
+                )
                 out = block_cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
@@ -162,6 +178,7 @@ class ResNet(nn.Module):
                     frozen_bn=self.frozen_bn,
                     dilation=dilation,
                     name=f"layer{li}_{bi}",
+                    **kwargs,
                 )(out, train)
             features.append(out)
             planes *= 2

@@ -64,14 +64,14 @@ class SegmentationModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rng=None):
+        from hallucidet_tpu.nn.encoders import get_encoder
+
         self._check_input_shape(x)
         spec = _SPECS[self.arch]
-        enc_channels = ENCODER_OUT_CHANNELS[self.encoder_name]
-        features: List[jnp.ndarray] = ResNet(
-            arch=self.encoder_name,
-            output_stride=spec["output_stride"],
-            name="encoder",
-        )(x, train)
+        encoder, enc_channels, _ = get_encoder(
+            self.encoder_name, output_stride=spec["output_stride"]
+        )
+        features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
 
         if self.arch == "unetplusplus":
             decoded = UnetPlusPlusDecoder(

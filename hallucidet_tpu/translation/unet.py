@@ -48,15 +48,17 @@ class Unet(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
     ):
+        from hallucidet_tpu.nn.encoders import get_encoder
+
         self._check_input_shape(x)
-        features: List[jnp.ndarray] = ResNet(arch=self.encoder_name, name="encoder")(
-            x, train
-        )
+        encoder, _, needs_center = get_encoder(self.encoder_name)
+        features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,
             use_batchnorm=self.decoder_use_batchnorm,
             attention_type=self.decoder_attention_type,
             use_skips=self.use_skips,
+            center=needs_center,  # VGG-family encoders use a center block
             name="decoder",
         )(features, train)
         masks = SegmentationHead(
