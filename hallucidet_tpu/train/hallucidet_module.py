@@ -46,6 +46,10 @@ class HalluciDetTrainConfig:
     pixel: Optional[str] = None
     perceptual: Optional[str] = None
     loss_weights: Optional[Dict[str, float]] = None
+    # 16 -> the translation net computes in bf16 (params kept f32, cast per
+    # step; hallucinated output recast to f32 before the detector). The
+    # reference's Lightning AMP flag equivalent (--precision).
+    precision: int = 32
 
 
 DEFAULT_WEIGHTS = {
@@ -110,15 +114,27 @@ class HalluciDetModule:
         w = self.weights
         ir3 = expand_one_channel_to_three(imgs_ir)
 
+        half = self.cfg.precision == 16
+        compute_dtype = jnp.bfloat16 if half else jnp.float32
         ed_vars = {"params": ed_params, "batch_stats": ed_batch_stats}
+        if half:
+            ed_vars = jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.bfloat16), ed_vars
+            )
+        unet_in = ir3.astype(compute_dtype)
         if train:
             hallucinated, upd = self.encoder_decoder.apply(
-                ed_vars, ir3, True, mutable=["batch_stats"]
+                ed_vars, unet_in, True, mutable=["batch_stats"]
             )
             new_bs = upd["batch_stats"]
+            if half:  # keep the persistent stats in f32
+                new_bs = jax.tree_util.tree_map(
+                    lambda t: t.astype(jnp.float32), new_bs
+                )
         else:
-            hallucinated = self.encoder_decoder.apply(ed_vars, ir3, False)
+            hallucinated = self.encoder_decoder.apply(ed_vars, unet_in, False)
             new_bs = ed_batch_stats
+        hallucinated = hallucinated.astype(jnp.float32)
 
         loss_pixel_rgb = loss_pixel_ir = 0.0
         loss_perc_rgb = loss_perc_ir = 0.0

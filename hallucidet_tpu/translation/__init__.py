@@ -8,6 +8,9 @@ from hallucidet_tpu.translation.encoder_decoder import (  # noqa: F401
     create_model,
 )
 from hallucidet_tpu.translation.models import SegmentationModel  # noqa: F401
+from hallucidet_tpu.translation.cnn_based_da import (  # noqa: F401
+    CnnBasedThermalInfraredDA,
+)
 from hallucidet_tpu.translation import (  # noqa: F401
     decoders,
     ir_preproc,

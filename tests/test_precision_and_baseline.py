@@ -1,0 +1,88 @@
+"""Tests: bf16 precision mode of the HalluciDet module; IR-DA baseline model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hallucidet_tpu.detection import FasterRCNN, FasterRCNNConfig, pad_targets
+from hallucidet_tpu.train import HalluciDetModule, HalluciDetTrainConfig
+from hallucidet_tpu.translation import CnnBasedThermalInfraredDA
+
+SMALL_DET = FasterRCNNConfig(
+    num_classes=2, backbone="resnet18",
+    rpn_pre_nms_top_n_train=64, rpn_pre_nms_top_n_test=64,
+    rpn_post_nms_top_n_train=32, rpn_post_nms_top_n_test=32,
+    rpn_nms_candidate_cap=128, box_batch_size_per_image=16,
+    box_detections_per_img=5,
+)
+
+
+def _small_module(precision):
+    cfg = HalluciDetTrainConfig(
+        detector="fasterrcnn", decoder_backbone="resnet18", input_size=64,
+        precision=precision,
+    )
+    m = HalluciDetModule(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64))
+    m.detector.impl = FasterRCNN(SMALL_DET, image_size=(64, 64))
+    m.det_variables = m.detector.impl.init(jax.random.PRNGKey(1))
+    return m
+
+
+def _batch(b=1):
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32))
+    ir = jnp.asarray(rng.rand(b, 64, 64, 1).astype(np.float32))
+    t = pad_targets(
+        [np.array([[8, 8, 40, 48]], np.float32)] * b, [np.array([1])] * b, 4
+    )
+    return rgb, t, ir, t
+
+
+def test_precision16_trains_and_stays_finite():
+    m = _small_module(16)
+    step = jax.jit(m.make_train_step(), donate_argnums=0)
+    state = (
+        m.ed_variables["params"],
+        m.ed_variables.get("batch_stats", {}),
+        m.opt_state,
+    )
+    state, logs = step(state, _batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["total"]))
+    # params stay f32 master copies
+    leaf = jax.tree_util.tree_leaves(state[0])[0]
+    assert leaf.dtype == jnp.float32
+    # batch stats stay f32
+    bs_leaf = jax.tree_util.tree_leaves(state[1])[0]
+    assert bs_leaf.dtype == jnp.float32
+
+
+def test_precision16_close_to_fp32():
+    m16 = _small_module(16)
+    m32 = _small_module(32)
+    m32.ed_variables = m16.ed_variables
+    m32.det_variables = m16.det_variables
+    batch = _batch()
+    e16 = m16.make_eval_step(with_baselines=False)
+    e32 = m32.make_eval_step(with_baselines=False)
+    state = (
+        m16.ed_variables["params"], m16.ed_variables.get("batch_stats", {})
+    )
+    t16, _, _, _ = e16(state, batch, jax.random.PRNGKey(0))
+    t32, _, _, _ = e32(state, batch, jax.random.PRNGKey(0))
+    assert abs(float(t16) - float(t32)) / max(abs(float(t32)), 1e-6) < 0.25
+
+
+def test_cnn_based_da_baseline():
+    model = CnnBasedThermalInfraredDA(
+        model_name="fasterrcnn", preprocessing="invert_equalization",
+        input_size=64,
+    )
+    model.detector.impl = FasterRCNN(SMALL_DET, image_size=(64, 64))
+    variables = model.detector.impl.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    targets = pad_targets([np.array([[8, 8, 40, 40]], np.float32)], [[1]], 4)
+    losses, dets = model.forward(variables, imgs, targets, jax.random.PRNGKey(2))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert dets.boxes.shape[1] == SMALL_DET.box_detections_per_img

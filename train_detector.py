@@ -54,7 +54,11 @@ def main():
     )
     define_reference_metrics(logger)
 
-    lr = args.lr if args.lr is not None else 1e-5
+    # reference default: 1e-4, or 1e-5 when fine-tuning (train_detector.py:49)
+    if args.lr is not None:
+        lr = args.lr
+    else:
+        lr = 1e-5 if args.fine_tuning else 1e-4
     module = DetectorModule(
         DetectorTrainConfig(
             detector=args.detector,
@@ -70,8 +74,10 @@ def main():
         ),
         rng=jax.random.PRNGKey(seed),
     )
-    if args.path or args.detector_path:
-        path = args.path or args.detector_path
+    # --path feeds fine-tuning (reference: train_detector.py:46-47)
+    pre_train_path = args.path if args.fine_tuning else None
+    if pre_train_path or args.detector_path:
+        path = pre_train_path or args.detector_path
         if os.path.isdir(path):
             module.variables = load_pytree(path, target=module.variables)
         else:

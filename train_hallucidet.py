@@ -76,7 +76,7 @@ def main():
                 args.detector_path, args.detector, args.n_classes
             )
 
-    lr = args.lr if args.lr is not None else 1e-5
+    lr = args.lr if args.lr is not None else 1e-4  # reference: train_hallucidet.py:56
     module = HalluciDetModule(
         HalluciDetTrainConfig(
             detector=args.detector,
@@ -90,6 +90,7 @@ def main():
             pixel=Config.Losses.pixel,
             perceptual=Config.Losses.perceptual,
             loss_weights=Config.Losses.hparams_losses_weights,
+            precision=args.precision,
         ),
         rng=jax.random.PRNGKey(seed),
         detector_variables=detector_variables,
