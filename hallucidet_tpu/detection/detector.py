@@ -114,3 +114,7 @@ class Detector:
         """(losses, detections) — the reference's eval-mode loss forward
         contract (reference: src/models/detector.py:105-118)."""
         return self.impl.forward(variables, images, targets, train_det, rng)
+
+    def predict(self, variables, images: jnp.ndarray, rng=None):
+        """Serving-only detections (no targets, no loss graph)."""
+        return self.impl.infer(variables, images, rng)

@@ -451,3 +451,44 @@ class FasterRCNN:
         )
         dets = self.transform.postprocess(dets, original_hw)
         return losses, dets
+
+    def infer(
+        self,
+        variables,
+        images: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> Detections:
+        """Pure serving path: detections without targets or losses — the
+        stock torchvision eval behavior (all post-NMS proposals through the
+        box head, no GT augmentation/sampling). The parity eval path stays
+        `forward` (the reference's published numbers flow through sampling,
+        see module docstring)."""
+        del rng
+        cfg = self.config
+        original_hw = images.shape[1:3]
+        images_t, _ = self.transform(images, None)
+
+        feats = self.module.apply(variables, images_t, method="features")
+        objs, deltas = self.module.apply(variables, feats, method="rpn")
+        objectness, pred_deltas, level_sizes = _flatten_rpn_outputs(objs, deltas)
+        anchors = jnp.asarray(self.anchors())
+        proposals = decode_boxes(pred_deltas, anchors)
+        prop_boxes, _, prop_valid = _filter_proposals(
+            proposals, objectness, level_sizes, self.image_size, cfg, False
+        )
+
+        strides = [
+            2 ** int(round(np.log2(self.image_size[0] / hw[0])))
+            for hw in self.level_shapes()[:4]
+        ]
+        pooled = jax.vmap(
+            lambda fs, r: multiscale_roi_align(fs, r, strides, (7, 7), 2)
+        )([f for f in feats[:4]], prop_boxes)
+        class_logits, box_regression = self.module.apply(
+            variables, pooled, method="box_predict"
+        )
+        dets = _postprocess_detections(
+            class_logits, box_regression, prop_boxes, prop_valid,
+            self.image_size, cfg,
+        )
+        return self.transform.postprocess(dets, original_hw)

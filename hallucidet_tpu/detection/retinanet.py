@@ -281,3 +281,26 @@ class RetinaNet:
         )
         dets = self.transform.postprocess(dets, original_hw)
         return losses, dets
+
+    def infer(self, variables, images: jnp.ndarray, rng=None) -> Detections:
+        """Serving path: detections only (loss path skipped entirely)."""
+        del rng
+        cfg = self.config
+        original_hw = images.shape[1:3]
+        images_t, _ = self.transform(images, None)
+        feats = self.module.apply(variables, images_t, method="features")
+        cls_logits, bbox_reg = self.module.apply(variables, feats, method="head")
+        dets = topk_candidates_postprocess(
+            class_scores=jax.nn.sigmoid(cls_logits),
+            decode_fn=decode_boxes,
+            bbox_reg=bbox_reg,
+            anchors=self.anchors(),
+            level_sizes=self.level_sizes(),
+            image_hw=self.image_size,
+            score_thresh=cfg.score_thresh,
+            topk=cfg.topk_candidates,
+            nms_thresh=cfg.nms_thresh,
+            detections_per_img=cfg.detections_per_img,
+            candidate_cap=cfg.nms_candidate_cap,
+        )
+        return self.transform.postprocess(dets, original_hw)

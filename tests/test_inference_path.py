@@ -1,0 +1,50 @@
+"""Serving (no-target) inference path tests for all three detector families."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hallucidet_tpu.detection import (
+    FCOS, FCOSConfig, FasterRCNN, FasterRCNNConfig, RetinaNet, RetinaNetConfig,
+)
+
+SMALL_FRCNN = FasterRCNNConfig(
+    num_classes=2, backbone="resnet18",
+    rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=32,
+    rpn_nms_candidate_cap=128, box_detections_per_img=5,
+)
+
+
+def test_fasterrcnn_infer():
+    det = FasterRCNN(SMALL_FRCNN, image_size=(64, 64))
+    v = det.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    dets = jax.jit(lambda v, im: det.infer(v, im))(v, images)
+    assert dets.boxes.shape == (2, 5, 4)
+    ob = np.asarray(dets.boxes)
+    assert ob[..., 2].max() <= 96 + 1e-3  # original frame coords
+    assert np.asarray(dets.scores).min() >= 0
+
+
+def test_retinanet_infer():
+    det = RetinaNet(
+        RetinaNetConfig(num_classes=2, backbone="resnet18", topk_candidates=20,
+                        detections_per_img=5, nms_candidate_cap=128),
+        image_size=(64, 64),
+    )
+    v = det.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3))
+    dets = det.infer(v, images)
+    assert dets.boxes.shape == (1, 5, 4)
+
+
+def test_fcos_infer():
+    det = FCOS(
+        FCOSConfig(num_classes=2, backbone="resnet18", topk_candidates=20,
+                   detections_per_img=5, nms_candidate_cap=128),
+        image_size=(64, 64),
+    )
+    v = det.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3))
+    dets = det.infer(v, images)
+    assert dets.boxes.shape == (1, 5, 4)
