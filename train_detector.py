@@ -29,6 +29,9 @@ from hallucidet_tpu.train import (
 def main():
     args = Config.argument_parser()
     Config.set_environment()
+    from hallucidet_tpu.observability import setup_debug
+
+    setup_debug()  # HALLUCIDET_DEBUG_NANS=1 enables jit NaN guards
     if args.dataset is not None:
         Config.set_dataset_path(args.dataset)
     if args.train:
