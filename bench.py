@@ -40,8 +40,9 @@ def main():
     ed_vars = unet.init(k1, ir_small, False)
     det_vars = det.init(k2)
 
-    # inference-shaped targets (the fused graph includes the loss path the
-    # HalluciDet trainer uses; eval path needs targets for parity mode too)
+    # parity (default): the reference's eval path — also the faster one
+    # (512 sampled RoIs vs serving's 1000 post-NMS proposals).
+    mode = os.environ.get("BENCH_MODE", "parity")  # parity | serving
     targets = pad_targets(
         [np.array([[100, 100, 300, 400]], np.float32)] * batch,
         [np.array([1])] * batch,
@@ -51,9 +52,14 @@ def main():
     def fused(ed_v, det_v, ir):
         ir3 = expand_one_channel_to_three(ir)
         hall = unet.apply(ed_v, ir3, False)
-        losses, dets = det.forward(
-            det_v, hall, targets, train_det=False, rng=jax.random.PRNGKey(1)
-        )
+        if mode == "parity":
+            # the reference's eval path: loss graph + GT-augmented sampling
+            _, dets = det.forward(
+                det_v, hall, targets, train_det=False, rng=jax.random.PRNGKey(1)
+            )
+        else:
+            # production serving: detections only (detection/faster_rcnn.infer)
+            dets = det.infer(det_v, hall)
         return dets.boxes, dets.scores, dets.valid
 
     fused_jit = jax.jit(fused)
