@@ -129,6 +129,10 @@ class ResNet(nn.Module):
 
     arch: str = "resnet50"
     frozen_bn: bool = False
+    # rematerialize each residual block in the backward pass (trade ~30%
+    # extra forward FLOPs for O(block-outputs) activation memory — required
+    # to train megapixel inputs in 16G HBM)
+    remat: bool = False
     # 32 (default), 16 or 8: smaller strides replace the last layers' stride
     # with dilation (smp make_dilated semantics, reference:
     # src/segmentation_models/encoders/_base.py / _utils.py:41-51)
@@ -171,7 +175,12 @@ class ResNet(nn.Module):
                     if block_cls is Bottleneck
                     else {}
                 )
-                out = block_cls(
+                cls = (
+                    nn.remat(block_cls, static_argnums=(2,))
+                    if self.remat
+                    else block_cls
+                )
+                out = cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
                     downsample=needs_ds,

@@ -136,6 +136,7 @@ class UnetDecoder(nn.Module):
     center: bool = False
     use_skips: bool = True  # False => UnetModified (skip connections removed)
     fused: bool = False  # exact fused upsample+concat+conv (ops/fused_upsample)
+    remat: bool = False  # rematerialize blocks (see nn/resnet.py ResNet.remat)
 
     @nn.compact
     def __call__(
@@ -148,9 +149,14 @@ class UnetDecoder(nn.Module):
             x = CenterBlock(
                 head.shape[-1], use_batchnorm=self.use_batchnorm, name="center"
             )(x, train)
+        block_cls = (
+            nn.remat(DecoderBlock, static_argnums=(3,))
+            if self.remat
+            else DecoderBlock
+        )
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if (self.use_skips and i < len(skips)) else None
-            x = DecoderBlock(
+            x = block_cls(
                 out_channels=out_ch,
                 skip_channels=0 if skip is None else skip.shape[-1],
                 use_batchnorm=self.use_batchnorm,

@@ -50,6 +50,8 @@ class HalluciDetTrainConfig:
     # step; hallucinated output recast to f32 before the detector). The
     # reference's Lightning AMP flag equivalent (--precision).
     precision: int = 32
+    # per-block activation remat: needed to fit megapixel training batches
+    remat: bool = True
 
 
 DEFAULT_WEIGHTS = {
@@ -75,9 +77,10 @@ class HalluciDetModule:
         if cfg.loss_weights:
             self.weights.update(cfg.loss_weights)
 
+        kw = {"remat": cfg.remat} if cfg.arch in ("unet", "unetmodified") else {}
         self.encoder_decoder = create_model(
             arch=cfg.arch, encoder_name=cfg.decoder_backbone,
-            classes=cfg.output_channels, head=cfg.segmentation_head,
+            classes=cfg.output_channels, head=cfg.segmentation_head, **kw,
         )
         k1, k2 = jax.random.split(rng)
         dummy = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)

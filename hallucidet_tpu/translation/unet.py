@@ -30,7 +30,8 @@ class Unet(nn.Module):
     classes: int = 3
     head: str = "sigmoid"
     use_skips: bool = True  # False => UnetModified
-    aux_classes: Optional[int] = None  # optional classification head
+    aux_classes: Optional[int] = None
+    remat: bool = False  # per-block activation rematerialization for training
 
     def _check_input_shape(self, x: jnp.ndarray):
         h, w = x.shape[1:3]
@@ -52,6 +53,8 @@ class Unet(nn.Module):
 
         self._check_input_shape(x)
         encoder, _, needs_center = get_encoder(self.encoder_name)
+        if self.remat and hasattr(encoder, "remat"):
+            encoder = encoder.copy(remat=True)
         features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,
@@ -59,6 +62,7 @@ class Unet(nn.Module):
             attention_type=self.decoder_attention_type,
             use_skips=self.use_skips,
             center=needs_center,  # VGG-family encoders use a center block
+            remat=self.remat,
             name="decoder",
         )(features, train)
         masks = SegmentationHead(
