@@ -275,3 +275,37 @@ def load_encoder_decoder_variables(
     if not loaded:
         raise ValueError(f"no encoder-decoder weights matched in {path}")
     return new_vars
+
+
+def patch_first_conv(params, new_in_channels: int, first_conv_path=("encoder", "conv1")):
+    """Adapt a converted first-conv kernel to a different input channel count
+    (reference: src/segmentation_models/encoders/_utils.py:5-38
+    patch_first_conv): 1 channel -> sum the kernel over input channels;
+    otherwise tile and rescale so activation magnitudes are preserved.
+    """
+    import jax
+
+    node = params
+    for key in first_conv_path:
+        node = node[key]
+    kernel = np.asarray(node["kernel"])  # [kh, kw, Cin, O]
+    cin = kernel.shape[2]
+    if new_in_channels == cin:
+        return params
+    if new_in_channels == 1:
+        new_kernel = kernel.sum(axis=2, keepdims=True)
+    else:
+        reps = -(-new_in_channels // cin)
+        new_kernel = np.tile(kernel, (1, 1, reps, 1))[:, :, :new_in_channels, :]
+        new_kernel = new_kernel * (cin / new_in_channels)
+
+    def replace(tree, path, value):
+        if not path:
+            out = dict(tree)
+            out["kernel"] = value
+            return out
+        out = dict(tree)
+        out[path[0]] = replace(tree[path[0]], path[1:], value)
+        return out
+
+    return replace(params, list(first_conv_path), new_kernel)

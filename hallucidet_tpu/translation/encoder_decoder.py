@@ -37,8 +37,11 @@ def create_model(
     src/segmentation_models/__init__.py:24-64). `in_channels` must be 3 (IR
     input is expanded 1ch->3ch upstream, reference: src/utils/utils.py:51-53)."""
     arch = arch.lower().replace("++", "plusplus")
-    if in_channels != 3:
-        raise NotImplementedError("in_channels != 3 not supported yet")
+    # Flax convs infer input channels at init, so any in_channels works
+    # structurally; adapting converted ImageNet weights to != 3 channels is
+    # interop.patch_first_conv (smp _utils.patch_first_conv semantics).
+    if in_channels <= 0:
+        raise ValueError("in_channels must be positive")
     if arch in _UNET_ARCHS:
         return Unet(
             encoder_name=encoder_name, classes=classes, **_UNET_ARCHS[arch], **kwargs
