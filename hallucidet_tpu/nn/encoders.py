@@ -516,3 +516,191 @@ def get_encoder(name: str, output_stride: int = 32):
 
 def encoder_names():
     return sorted(ENCODER_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# SE-ResNet / SE-ResNeXt (reference: encoders/senet.py) — ResNet bottlenecks
+# with squeeze-excitation; SEResNet puts the stride on conv1.
+# ---------------------------------------------------------------------------
+
+
+class SEModule(nn.Module):
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = conv(self.channels // self.reduction, 1, name="fc1")(s)
+        s = nn.relu(s)
+        s = conv(self.channels, 1, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SEBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    reduction: int = 16
+    stride_on_conv1: bool = True  # SEResNet variant; SEResNeXt strides conv2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.planes * 4
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        s1 = self.stride if self.stride_on_conv1 else 1
+        s2 = 1 if self.stride_on_conv1 else self.stride
+        y = conv(width, 1, s1, 0, use_bias=False, name="conv1")(x)
+        y = BatchNorm(width, name="bn1")(y, train)
+        y = nn.relu(y)
+        y = conv(width, 3, s2, 1, use_bias=False, groups=self.groups, name="conv2")(y)
+        y = BatchNorm(width, name="bn2")(y, train)
+        y = nn.relu(y)
+        y = conv(out_ch, 1, use_bias=False, name="conv3")(y)
+        y = BatchNorm(out_ch, name="bn3")(y, train)
+        y = SEModule(out_ch, self.reduction, name="se_module")(y)
+        identity = x
+        if self.downsample:
+            identity = conv(out_ch, 1, self.stride, 0, use_bias=False,
+                            name="downsample_0")(x)
+            identity = BatchNorm(out_ch, name="downsample_1")(identity, train)
+        return nn.relu(y + identity)
+
+
+class SENetEncoder(nn.Module):
+    arch: str = "se_resnet50"
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.output_stride != 32:
+            raise ValueError("SENet dilated mode not implemented")
+        layers = {"se_resnet50": (3, 4, 6, 3), "se_resnext50_32x4d": (3, 4, 6, 3)}[
+            self.arch
+        ]
+        groups, base_width, stride_on_conv1 = (
+            (1, 64, True) if self.arch == "se_resnet50" else (32, 4, False)
+        )
+        features = [x]
+        y = conv(64, 7, 2, 3, use_bias=False, name="layer0_conv1")(x)
+        y = BatchNorm(64, name="layer0_bn1")(y, train)
+        y = nn.relu(y)
+        features.append(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        planes = 64
+        for li, n in enumerate(layers, start=1):
+            stride = 1 if li == 1 else 2
+            for bi in range(n):
+                y = SEBottleneck(
+                    planes=planes,
+                    stride=stride if bi == 0 else 1,
+                    downsample=bi == 0,
+                    groups=groups,
+                    base_width=base_width,
+                    stride_on_conv1=stride_on_conv1 and bi == 0 and li > 1,
+                    name=f"layer{li}_{bi}",
+                )(y, train)
+            features.append(y)
+            planes *= 2
+        return features
+
+
+# ---------------------------------------------------------------------------
+# Xception (reference: encoders/xception.py) — separable convs with strided
+# residual shortcuts. out_channels (3, 64, 128, 256, 728, 2048).
+# ---------------------------------------------------------------------------
+
+
+class SeparableConv(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x = conv(cin, 3, self.stride, 1, use_bias=False, groups=cin, name="dw")(x)
+        return conv(self.features, 1, use_bias=False, name="pw")(x)
+
+
+class XceptionBlock(nn.Module):
+    out_ch: int
+    reps: int
+    stride: int = 1
+    start_with_relu: bool = True
+    grow_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skip = x
+        if self.out_ch != x.shape[-1] or self.stride != 1:
+            skip = conv(self.out_ch, 1, self.stride, 0, use_bias=False, name="skip")(x)
+            skip = BatchNorm(self.out_ch, name="skip_bn")(skip, train)
+        y = x
+        ch = x.shape[-1]
+        for r in range(self.reps):
+            if r > 0 or self.start_with_relu:
+                y = nn.relu(y)
+            target = self.out_ch if (self.grow_first or r == self.reps - 1) else ch
+            y = SeparableConv(target, 1, name=f"sep{r}")(y)
+            y = BatchNorm(target, name=f"bn{r}")(y, train)
+        if self.stride != 1:
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return y + skip
+
+
+class XceptionEncoder(nn.Module):
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.output_stride != 32:
+            raise ValueError("Xception dilated mode not implemented (pooling)")
+        features = [x]
+        y = conv(32, 3, 2, 1, use_bias=False, name="conv1")(x)
+        y = BatchNorm(32, name="bn1")(y, train)
+        y = nn.relu(y)
+        y = conv(64, 3, 1, 1, use_bias=False, name="conv2")(y)
+        y = BatchNorm(64, name="bn2")(y, train)
+        y = nn.relu(y)
+        features.append(y)  # 64 @ /2
+        y = XceptionBlock(128, 2, 2, start_with_relu=False, name="block1")(y, train)
+        features.append(y)  # 128 @ /4
+        y = XceptionBlock(256, 2, 2, name="block2")(y, train)
+        features.append(y)  # 256 @ /8
+        y = XceptionBlock(728, 2, 2, name="block3")(y, train)
+        for i in range(4, 12):  # middle flow
+            y = XceptionBlock(728, 3, 1, name=f"block{i}")(y, train)
+        features.append(y)  # 728 @ /16
+        y = XceptionBlock(1024, 2, 2, grow_first=False, name="block12")(y, train)
+        y = SeparableConv(1536, 1, name="conv3")(y)
+        y = BatchNorm(1536, name="bn3")(y, train)
+        y = nn.relu(y)
+        y = SeparableConv(2048, 1, name="conv4")(y)
+        y = BatchNorm(2048, name="bn4")(y, train)
+        y = nn.relu(y)
+        features.append(y)  # 2048 @ /32
+        return features
+
+
+ENCODER_REGISTRY.update(
+    {
+        "se_resnet50": (
+            lambda output_stride=32: SENetEncoder(
+                arch="se_resnet50", output_stride=output_stride
+            ),
+            (3, 64, 256, 512, 1024, 2048), False,
+        ),
+        "se_resnext50_32x4d": (
+            lambda output_stride=32: SENetEncoder(
+                arch="se_resnext50_32x4d", output_stride=output_stride
+            ),
+            (3, 64, 256, 512, 1024, 2048), False,
+        ),
+        "xception": (
+            lambda output_stride=32: XceptionEncoder(output_stride=output_stride),
+            (3, 64, 128, 256, 728, 2048), False,
+        ),
+    }
+)

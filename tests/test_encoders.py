@@ -50,3 +50,23 @@ def test_registry_surface():
     assert "resnet34" in names and "vgg16_bn" in names and "mit_b2" in names
     with pytest.raises(KeyError, match="Wrong encoder name"):
         get_encoder("resnet999")
+
+
+@pytest.mark.parametrize(
+    "name,channels",
+    [
+        ("se_resnet50", (3, 64, 256, 512, 1024, 2048)),
+        ("se_resnext50_32x4d", (3, 64, 256, 512, 1024, 2048)),
+        ("xception", (3, 64, 128, 256, 728, 2048)),
+    ],
+)
+def test_senet_xception_shapes(name, channels):
+    enc, out_channels, _ = get_encoder(name)
+    assert tuple(out_channels) == channels
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == 6
+    for f, ch, s in zip(feats, channels, (1, 2, 4, 8, 16, 32)):
+        assert f.shape[-1] == ch, (name, f.shape, ch)
+        assert f.shape[1] == 64 // s, (name, f.shape)
