@@ -704,3 +704,112 @@ ENCODER_REGISTRY.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# DPN (dual-path networks; reference: encoders/dpn.py / pretrainedmodels DPN):
+# each block carries a fixed-width residual path plus a growing dense path;
+# staged features are relu(concat(paths)) at the reference's stage_idxs.
+# ---------------------------------------------------------------------------
+
+
+class _BnActConv(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(x.shape[-1], name="bn")(x, train)
+        x = nn.relu(x)
+        return conv(
+            self.features, self.kernel, self.stride, self.kernel // 2,
+            use_bias=False, groups=self.groups, name="conv",
+        )(x)
+
+
+class DualPathBlock(nn.Module):
+    num_1x1_a: int
+    num_3x3_b: int
+    num_1x1_c: int
+    inc: int
+    groups: int
+    block_type: str = "normal"  # proj | down | normal
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (residual, dense) tuple or single tensor
+        x_in = jnp.concatenate(x, axis=-1) if isinstance(x, tuple) else x
+        stride = 2 if self.block_type == "down" else 1
+        if self.block_type in ("proj", "down"):
+            s = _BnActConv(
+                self.num_1x1_c + 2 * self.inc, 1, stride, name="c1x1_w"
+            )(x_in, train)
+            s_res = s[..., : self.num_1x1_c]
+            s_dense = s[..., self.num_1x1_c :]
+        else:
+            s_res, s_dense = x
+        y = _BnActConv(self.num_1x1_a, 1, 1, name="c1x1_a")(x_in, train)
+        y = _BnActConv(
+            self.num_3x3_b, 3, stride, groups=self.groups, name="c3x3_b"
+        )(y, train)
+        y = _BnActConv(self.num_1x1_c + self.inc, 1, 1, name="c1x1_c")(y, train)
+        resid = s_res + y[..., : self.num_1x1_c]
+        dense = jnp.concatenate([s_dense, y[..., self.num_1x1_c :]], axis=-1)
+        return resid, dense
+
+
+_DPN_CFG = {
+    "dpn68": dict(
+        num_init_features=10, k_r=128, groups=32,
+        k_sec=(3, 4, 12, 3), inc_sec=(16, 32, 32, 64),
+        bw_factor=1, small=True,
+    ),
+}
+
+
+class DPNEncoder(nn.Module):
+    arch: str = "dpn68"
+    output_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.output_stride != 32:
+            raise ValueError("DPN dilated mode not implemented")
+        cfg = _DPN_CFG[self.arch]
+        features = [x]
+        stem_k = 3 if cfg["small"] else 7
+        y = conv(
+            cfg["num_init_features"], stem_k, 2, stem_k // 2,
+            use_bias=False, name="stem_conv",
+        )(x)
+        y = BatchNorm(cfg["num_init_features"], name="stem_bn")(y, train)
+        y = nn.relu(y)
+        features.append(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        bw_base = 64 if cfg["small"] else 256
+        for si in range(4):
+            bw = bw_base * (2**si) * cfg["bw_factor"]
+            inc = cfg["inc_sec"][si]
+            r = (cfg["k_r"] * bw) // bw_base
+            block_type = "proj" if si == 0 else "down"
+            pair = DualPathBlock(
+                r, r, bw, inc, cfg["groups"], block_type,
+                name=f"s{si}_b0",
+            )(y, train)
+            for bi in range(1, cfg["k_sec"][si]):
+                pair = DualPathBlock(
+                    r, r, bw, inc, cfg["groups"], "normal",
+                    name=f"s{si}_b{bi}",
+                )(pair, train)
+            y = pair
+            features.append(nn.relu(jnp.concatenate(pair, axis=-1)))
+        return features[:6]
+
+
+ENCODER_REGISTRY["dpn68"] = (
+    lambda output_stride=32: DPNEncoder(arch="dpn68", output_stride=output_stride),
+    (3, 10, 144, 320, 704, 832), False,
+)

@@ -70,3 +70,14 @@ def test_senet_xception_shapes(name, channels):
     for f, ch, s in zip(feats, channels, (1, 2, 4, 8, 16, 32)):
         assert f.shape[-1] == ch, (name, f.shape, ch)
         assert f.shape[1] == 64 // s, (name, f.shape)
+
+
+def test_dpn68_shapes():
+    enc, out_channels, _ = get_encoder("dpn68")
+    assert tuple(out_channels) == (3, 10, 144, 320, 704, 832)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x, False)
+    feats = enc.apply(variables, x, False)
+    for f, ch, s in zip(feats, out_channels, (1, 2, 4, 8, 16, 32)):
+        assert f.shape[-1] == ch, (f.shape, ch)
+        assert f.shape[1] == 64 // s, f.shape
