@@ -163,6 +163,7 @@ _DENSENET_BLOCKS = {
     "densenet121": (6, 12, 24, 16),
     "densenet169": (6, 12, 32, 32),
     "densenet201": (6, 12, 48, 32),
+    "densenet161": (6, 12, 36, 24),  # growth 48, init 96
 }
 
 
@@ -226,10 +227,16 @@ _EFFNET_BASE = [
     (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3),
 ]
 _EFFNET_SCALE = {
-    # width, depth, smp stage_idxs (feature collected before these block idxs)
+    # width, depth, smp stage_idxs (feature collected before these block
+    # idxs) — reference: encoders/efficientnet.py:106-176
     "efficientnet-b0": (1.0, 1.0, (3, 5, 9, 16)),
     "efficientnet-b1": (1.0, 1.1, (5, 8, 16, 23)),
     "efficientnet-b2": (1.1, 1.2, (5, 8, 16, 23)),
+    "efficientnet-b3": (1.2, 1.4, (5, 8, 18, 26)),
+    "efficientnet-b4": (1.4, 1.8, (6, 10, 22, 32)),
+    "efficientnet-b5": (1.6, 2.2, (8, 13, 27, 39)),
+    "efficientnet-b6": (1.8, 2.6, (9, 15, 31, 45)),
+    "efficientnet-b7": (2.0, 3.1, (11, 18, 38, 55)),
 }
 
 
@@ -315,6 +322,9 @@ _MIT_CFG = {
     "mit_b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
     "mit_b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
     "mit_b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3)),
+    "mit_b3": dict(dims=(64, 128, 320, 512), depths=(3, 4, 18, 3)),
+    "mit_b4": dict(dims=(64, 128, 320, 512), depths=(3, 8, 27, 3)),
+    "mit_b5": dict(dims=(64, 128, 320, 512), depths=(3, 6, 40, 3)),
 }
 _MIT_HEADS = (1, 2, 5, 8)
 _MIT_SR = (8, 4, 2, 1)
@@ -433,6 +443,12 @@ ENCODER_REGISTRY = {
         ),
         (3, 64, 256, 512, 1024, 2048), False,
     ),
+    "resnext101_32x8d": (
+        lambda output_stride=32: ResNet(
+            arch="resnext101_32x8d", output_stride=output_stride
+        ),
+        (3, 64, 256, 512, 1024, 2048), False,
+    ),
     **{
         name: ((lambda n, bn: (lambda output_stride=32: VGGEncoder(
             cfg_name=n, batch_norm=bn, output_stride=output_stride)))(
@@ -463,48 +479,55 @@ ENCODER_REGISTRY = {
         ),
         (3, 64, 256, 512, 1792, 1920), False,
     ),
-    "efficientnet-b0": (
-        lambda output_stride=32: EfficientNetEncoder(
-            arch="efficientnet-b0", output_stride=output_stride
+    "densenet161": (
+        lambda output_stride=32: DenseNetEncoder(
+            arch="densenet161", growth=48, init_features=96,
+            output_stride=output_stride
         ),
-        (3, 32, 24, 40, 112, 320), False,
+        (3, 96, 384, 768, 2112, 2208), False,
     ),
-    "efficientnet-b1": (
-        lambda output_stride=32: EfficientNetEncoder(
-            arch="efficientnet-b1", output_stride=output_stride
-        ),
-        (3, 32, 24, 40, 112, 320), False,
-    ),
-    "efficientnet-b2": (
-        lambda output_stride=32: EfficientNetEncoder(
-            arch="efficientnet-b2", output_stride=output_stride
-        ),
-        (3, 32, 24, 48, 120, 352), False,
-    ),
-    "mit_b0": (
-        lambda output_stride=32: MixVisionTransformerEncoder(
-            arch="mit_b0", output_stride=output_stride
-        ),
-        (3, 0, 32, 64, 160, 256), False,
-    ),
-    "mit_b1": (
-        lambda output_stride=32: MixVisionTransformerEncoder(
-            arch="mit_b1", output_stride=output_stride
-        ),
-        (3, 0, 64, 128, 320, 512), False,
-    ),
-    "mit_b2": (
-        lambda output_stride=32: MixVisionTransformerEncoder(
-            arch="mit_b2", output_stride=output_stride
-        ),
-        (3, 0, 64, 128, 320, 512), False,
-    ),
+    **{
+        name: ((lambda n: (lambda output_stride=32: EfficientNetEncoder(
+            arch=n, output_stride=output_stride)))(name), chs, False)
+        for name, chs in {
+            "efficientnet-b0": (3, 32, 24, 40, 112, 320),
+            "efficientnet-b1": (3, 32, 24, 40, 112, 320),
+            "efficientnet-b2": (3, 32, 24, 48, 120, 352),
+            "efficientnet-b3": (3, 40, 32, 48, 136, 384),
+            "efficientnet-b4": (3, 48, 32, 56, 160, 448),
+            "efficientnet-b5": (3, 48, 40, 64, 176, 512),
+            "efficientnet-b6": (3, 56, 40, 72, 200, 576),
+            "efficientnet-b7": (3, 64, 48, 80, 224, 640),
+        }.items()
+    },
+    **{
+        name: ((lambda n: (lambda output_stride=32:
+                           MixVisionTransformerEncoder(
+                               arch=n, output_stride=output_stride)))(name),
+               (3, 0) + _MIT_CFG[name]["dims"], False)
+        for name in _MIT_CFG
+    },
 }
 
 
 def get_encoder(name: str, output_stride: int = 32):
     """-> (flax module, out_channels tuple, needs_center). The module's
-    __call__(x, train) returns the staged feature list."""
+    __call__(x, train) returns the staged feature list.
+
+    `tu-<name>` (the reference's TimmUniversalEncoder passthrough,
+    encoders/__init__.py:47-57) resolves against this native registry: any
+    timm model we have a native build for works; others raise."""
+    if name.startswith("tu-"):
+        base = name[3:]
+        for candidate in (base, f"timm-{base}"):
+            if candidate in ENCODER_REGISTRY:
+                name = candidate
+                break
+        else:
+            raise KeyError(
+                f"tu-{base}: no native equivalent of this timm model; "
+                f"supported encoders: {sorted(ENCODER_REGISTRY)}"
+            )
     if name not in ENCODER_REGISTRY:
         raise KeyError(
             f"Wrong encoder name `{name}`, supported encoders: "
@@ -537,36 +560,91 @@ class SEModule(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+def ceil_mode_max_pool(y, window: int = 3, stride: int = 2):
+    """torch MaxPool2d(window, stride, ceil_mode=True) with NO padding:
+    windows start at 0 and the input is padded only at the bottom/right
+    (with -inf) so the window count is ceil((dim-window)/stride)+1.
+    pretrainedmodels' SENet stem uses exactly this (chosen over padding=1
+    for Caffe-weight compatibility), so pooling windows are NOT shifted
+    like a padding=1 pool would be."""
+    h, w = y.shape[1:3]
+
+    def pad_amount(dim):
+        n_out = -(-(dim - window) // stride) + 1
+        return max(0, (n_out - 1) * stride + window - dim)
+
+    return nn.max_pool(
+        y, (window, window), strides=(stride, stride),
+        padding=((0, pad_amount(h)), (0, pad_amount(w))),
+    )
+
+
 class SEBottleneck(nn.Module):
+    """The three pretrainedmodels SENet bottlenecks:
+    - variant='senet'    (SEBottleneck, senet154): 1x1 -> planes*2,
+      3x3(stride, groups) -> planes*4, 1x1 -> planes*4.
+    - variant='seresnet' (SEResNetBottleneck): stride on conv1.
+    - variant='seresnext'(SEResNeXtBottleneck): width from base_width,
+      stride on conv2."""
+
     planes: int
+    variant: str = "seresnet"
     stride: int = 1
     downsample: bool = False
+    downsample_kernel: int = 1
     groups: int = 1
     base_width: int = 64
     reduction: int = 16
-    stride_on_conv1: bool = True  # SEResNet variant; SEResNeXt strides conv2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.planes * 4
-        width = int(self.planes * (self.base_width / 64.0)) * self.groups
-        s1 = self.stride if self.stride_on_conv1 else 1
-        s2 = 1 if self.stride_on_conv1 else self.stride
-        y = conv(width, 1, s1, 0, use_bias=False, name="conv1")(x)
-        y = BatchNorm(width, name="bn1")(y, train)
+        if self.variant == "senet":
+            w1, w2 = self.planes * 2, self.planes * 4
+            s1, s2 = 1, self.stride
+        elif self.variant == "seresnext":
+            w1 = w2 = int(
+                math.floor(self.planes * (self.base_width / 64.0))
+            ) * self.groups
+            s1, s2 = 1, self.stride
+        else:  # seresnet
+            w1 = w2 = self.planes
+            s1, s2 = self.stride, 1
+        y = conv(w1, 1, s1, 0, use_bias=False, name="conv1")(x)
+        y = BatchNorm(w1, name="bn1")(y, train)
         y = nn.relu(y)
-        y = conv(width, 3, s2, 1, use_bias=False, groups=self.groups, name="conv2")(y)
-        y = BatchNorm(width, name="bn2")(y, train)
+        y = conv(w2, 3, s2, 1, use_bias=False, groups=self.groups, name="conv2")(y)
+        y = BatchNorm(w2, name="bn2")(y, train)
         y = nn.relu(y)
         y = conv(out_ch, 1, use_bias=False, name="conv3")(y)
         y = BatchNorm(out_ch, name="bn3")(y, train)
         y = SEModule(out_ch, self.reduction, name="se_module")(y)
         identity = x
         if self.downsample:
-            identity = conv(out_ch, 1, self.stride, 0, use_bias=False,
+            k = self.downsample_kernel
+            identity = conv(out_ch, k, self.stride, k // 2, use_bias=False,
                             name="downsample_0")(x)
             identity = BatchNorm(out_ch, name="downsample_1")(identity, train)
         return nn.relu(y + identity)
+
+
+_SENET_CFG = {
+    # reference registry params: encoders/senet.py:77-175
+    "senet154": dict(variant="senet", layers=(3, 8, 36, 3), groups=64,
+                     base_width=64, input_3x3=True, ds_kernel=3),
+    "se_resnet50": dict(variant="seresnet", layers=(3, 4, 6, 3), groups=1,
+                        base_width=64, input_3x3=False, ds_kernel=1),
+    "se_resnet101": dict(variant="seresnet", layers=(3, 4, 23, 3), groups=1,
+                         base_width=64, input_3x3=False, ds_kernel=1),
+    "se_resnet152": dict(variant="seresnet", layers=(3, 8, 36, 3), groups=1,
+                         base_width=64, input_3x3=False, ds_kernel=1),
+    "se_resnext50_32x4d": dict(variant="seresnext", layers=(3, 4, 6, 3),
+                               groups=32, base_width=4, input_3x3=False,
+                               ds_kernel=1),
+    "se_resnext101_32x4d": dict(variant="seresnext", layers=(3, 4, 23, 3),
+                                groups=32, base_width=4, input_3x3=False,
+                                ds_kernel=1),
+}
 
 
 class SENetEncoder(nn.Module):
@@ -577,29 +655,40 @@ class SENetEncoder(nn.Module):
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         if self.output_stride != 32:
             raise ValueError("SENet dilated mode not implemented")
-        layers = {"se_resnet50": (3, 4, 6, 3), "se_resnext50_32x4d": (3, 4, 6, 3)}[
-            self.arch
-        ]
-        groups, base_width, stride_on_conv1 = (
-            (1, 64, True) if self.arch == "se_resnet50" else (32, 4, False)
-        )
+        cfg = _SENET_CFG[self.arch]
         features = [x]
-        y = conv(64, 7, 2, 3, use_bias=False, name="layer0_conv1")(x)
-        y = BatchNorm(64, name="layer0_bn1")(y, train)
-        y = nn.relu(y)
+        if cfg["input_3x3"]:
+            # senet154 stem: three 3x3 convs (64, 64, 128)
+            y = conv(64, 3, 2, 1, use_bias=False, name="layer0_conv1")(x)
+            y = BatchNorm(64, name="layer0_bn1")(y, train)
+            y = nn.relu(y)
+            y = conv(64, 3, 1, 1, use_bias=False, name="layer0_conv2")(y)
+            y = BatchNorm(64, name="layer0_bn2")(y, train)
+            y = nn.relu(y)
+            y = conv(128, 3, 1, 1, use_bias=False, name="layer0_conv3")(y)
+            y = BatchNorm(128, name="layer0_bn3")(y, train)
+            y = nn.relu(y)
+        else:
+            y = conv(64, 7, 2, 3, use_bias=False, name="layer0_conv1")(x)
+            y = BatchNorm(64, name="layer0_bn1")(y, train)
+            y = nn.relu(y)
         features.append(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        y = ceil_mode_max_pool(y)
         planes = 64
-        for li, n in enumerate(layers, start=1):
+        for li, n in enumerate(cfg["layers"], start=1):
             stride = 1 if li == 1 else 2
+            # layer1's downsample is always a 1x1 (pretrainedmodels
+            # _make_layer hardcodes it); later layers use ds_kernel.
+            ds_kernel = 1 if li == 1 else cfg["ds_kernel"]
             for bi in range(n):
                 y = SEBottleneck(
                     planes=planes,
+                    variant=cfg["variant"],
                     stride=stride if bi == 0 else 1,
                     downsample=bi == 0,
-                    groups=groups,
-                    base_width=base_width,
-                    stride_on_conv1=stride_on_conv1 and bi == 0 and li > 1,
+                    downsample_kernel=ds_kernel,
+                    groups=cfg["groups"],
+                    base_width=cfg["base_width"],
                     name=f"layer{li}_{bi}",
                 )(y, train)
             features.append(y)
@@ -678,26 +767,26 @@ class XceptionEncoder(nn.Module):
         y = BatchNorm(1536, name="bn3")(y, train)
         y = nn.relu(y)
         y = SeparableConv(2048, 1, name="conv4")(y)
+        # smp's stage 5 is Sequential(block12, conv3, bn3, relu, conv4, bn4):
+        # it ends at bn4 with NO trailing ReLU (reference:
+        # encoders/xception.py get_stages), so the deepest feature keeps
+        # negative values.
         y = BatchNorm(2048, name="bn4")(y, train)
-        y = nn.relu(y)
         features.append(y)  # 2048 @ /32
         return features
 
 
 ENCODER_REGISTRY.update(
     {
-        "se_resnet50": (
-            lambda output_stride=32: SENetEncoder(
-                arch="se_resnet50", output_stride=output_stride
-            ),
-            (3, 64, 256, 512, 1024, 2048), False,
-        ),
-        "se_resnext50_32x4d": (
-            lambda output_stride=32: SENetEncoder(
-                arch="se_resnext50_32x4d", output_stride=output_stride
-            ),
-            (3, 64, 256, 512, 1024, 2048), False,
-        ),
+        **{
+            name: (
+                (lambda n: (lambda output_stride=32: SENetEncoder(
+                    arch=n, output_stride=output_stride)))(name),
+                (3, 128 if name == "senet154" else 64, 256, 512, 1024, 2048),
+                False,
+            )
+            for name in _SENET_CFG
+        },
         "xception": (
             lambda output_stride=32: XceptionEncoder(output_stride=output_stride),
             (3, 64, 128, 256, 728, 2048), False,
@@ -736,6 +825,7 @@ class DualPathBlock(nn.Module):
     inc: int
     groups: int
     block_type: str = "normal"  # proj | down | normal
+    b: bool = False  # dpn68b-style: BnAct + two separate 1x1s instead of a slice
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -754,17 +844,52 @@ class DualPathBlock(nn.Module):
         y = _BnActConv(
             self.num_3x3_b, 3, stride, groups=self.groups, name="c3x3_b"
         )(y, train)
-        y = _BnActConv(self.num_1x1_c + self.inc, 1, 1, name="c1x1_c")(y, train)
-        resid = s_res + y[..., : self.num_1x1_c]
-        dense = jnp.concatenate([s_dense, y[..., self.num_1x1_c :]], axis=-1)
+        if self.b:
+            # pretrainedmodels' b-variant: CatBnAct then two parallel 1x1s
+            y = BatchNorm(y.shape[-1], name="c1x1_c_bn")(y, train)
+            y = nn.relu(y)
+            out1 = conv(self.num_1x1_c, 1, use_bias=False, name="c1x1_c1")(y)
+            out2 = conv(self.inc, 1, use_bias=False, name="c1x1_c2")(y)
+        else:
+            y = _BnActConv(self.num_1x1_c + self.inc, 1, 1, name="c1x1_c")(y, train)
+            out1 = y[..., : self.num_1x1_c]
+            out2 = y[..., self.num_1x1_c :]
+        resid = s_res + out1
+        dense = jnp.concatenate([s_dense, out2], axis=-1)
         return resid, dense
 
 
 _DPN_CFG = {
+    # reference registry params: encoders/dpn.py:79-170
     "dpn68": dict(
         num_init_features=10, k_r=128, groups=32,
         k_sec=(3, 4, 12, 3), inc_sec=(16, 32, 32, 64),
-        bw_factor=1, small=True,
+        small=True, b=False,
+    ),
+    "dpn68b": dict(
+        num_init_features=10, k_r=128, groups=32,
+        k_sec=(3, 4, 12, 3), inc_sec=(16, 32, 32, 64),
+        small=True, b=True,
+    ),
+    "dpn92": dict(
+        num_init_features=64, k_r=96, groups=32,
+        k_sec=(3, 4, 20, 3), inc_sec=(16, 32, 24, 128),
+        small=False, b=False,
+    ),
+    "dpn98": dict(
+        num_init_features=96, k_r=160, groups=40,
+        k_sec=(3, 6, 20, 3), inc_sec=(16, 32, 32, 128),
+        small=False, b=False,
+    ),
+    "dpn107": dict(
+        num_init_features=128, k_r=200, groups=50,
+        k_sec=(4, 8, 20, 3), inc_sec=(20, 64, 64, 128),
+        small=False, b=False,
+    ),
+    "dpn131": dict(
+        num_init_features=128, k_r=160, groups=40,
+        k_sec=(4, 8, 28, 3), inc_sec=(16, 32, 32, 128),
+        small=False, b=False,
     ),
 }
 
@@ -791,25 +916,56 @@ class DPNEncoder(nn.Module):
 
         bw_base = 64 if cfg["small"] else 256
         for si in range(4):
-            bw = bw_base * (2**si) * cfg["bw_factor"]
+            bw = bw_base * (2**si)
             inc = cfg["inc_sec"][si]
             r = (cfg["k_r"] * bw) // bw_base
             block_type = "proj" if si == 0 else "down"
             pair = DualPathBlock(
-                r, r, bw, inc, cfg["groups"], block_type,
+                r, r, bw, inc, cfg["groups"], block_type, b=cfg["b"],
                 name=f"s{si}_b0",
             )(y, train)
             for bi in range(1, cfg["k_sec"][si]):
                 pair = DualPathBlock(
-                    r, r, bw, inc, cfg["groups"], "normal",
+                    r, r, bw, inc, cfg["groups"], "normal", b=cfg["b"],
                     name=f"s{si}_b{bi}",
                 )(pair, train)
             y = pair
-            features.append(nn.relu(jnp.concatenate(pair, axis=-1)))
+            cat = jnp.concatenate(pair, axis=-1)
+            if si == 3:
+                # smp stage_idxs include pretrainedmodels' trailing CatBnAct
+                # (`conv5_bn_ac`): the deepest feature is relu(bn(concat)),
+                # not a bare relu(concat) (reference: encoders/dpn.py:48-68).
+                cat = BatchNorm(cat.shape[-1], name="conv5_bn_ac_bn")(cat, train)
+            features.append(nn.relu(cat))
         return features[:6]
 
 
-ENCODER_REGISTRY["dpn68"] = (
-    lambda output_stride=32: DPNEncoder(arch="dpn68", output_stride=output_stride),
-    (3, 10, 144, 320, 704, 832), False,
+_DPN_OUT_CHANNELS = {
+    "dpn68": (3, 10, 144, 320, 704, 832),
+    "dpn68b": (3, 10, 144, 320, 704, 832),
+    "dpn92": (3, 64, 336, 704, 1552, 2688),
+    "dpn98": (3, 96, 336, 768, 1728, 2688),
+    "dpn107": (3, 128, 376, 1152, 2432, 2688),
+    "dpn131": (3, 128, 352, 832, 1984, 2688),
+}
+
+ENCODER_REGISTRY.update(
+    {
+        name: (
+            (lambda n: (lambda output_stride=32: DPNEncoder(
+                arch=n, output_stride=output_stride)))(name),
+            _DPN_OUT_CHANNELS[name], False,
+        )
+        for name in _DPN_CFG
+    }
 )
+
+
+# ---------------------------------------------------------------------------
+# Inception + timm families (inceptionv4, inceptionresnetv2, resnest,
+# res2net, sknet, regnet, gernet, mobilenetv3) live in encoders_extra.py.
+# ---------------------------------------------------------------------------
+
+from hallucidet_tpu.nn import encoders_extra as _extra  # noqa: E402
+
+_extra.register(ENCODER_REGISTRY)

@@ -97,7 +97,16 @@ class HalluciDetModule:
         self.tx = optim_lib.build_optimizer(
             cfg.optimizer, cfg.lr, gradient_clip_val=cfg.gradient_clip_val
         )
-        self.opt_state = self.tx.init(self.ed_variables["params"])
+        # train_det=True (the reference's Config.Detector.train_det unfreeze,
+        # train_hallucidet.py:433) puts the detector params in the optimizer
+        # too; the train-step state then carries {"ed": ..., "det": ...}.
+        if cfg.train_det:
+            self.opt_state = self.tx.init(
+                {"ed": self.ed_variables["params"],
+                 "det": self.det_variables["params"]}
+            )
+        else:
+            self.opt_state = self.tx.init(self.ed_variables["params"])
 
     # ---- the core algorithm ----
 
@@ -150,11 +159,15 @@ class HalluciDetModule:
             )
             loss_perc_ir = self.loss_perceptual(ir3, hallucinated) * w["perceptual_ir"]
 
-        # frozen detector: gradients flow through activations, not params
-        det_frozen = jax.lax.stop_gradient(det_params)
+        # frozen detector (default): gradients flow through activations, not
+        # params. With cfg.train_det the detector params stay differentiable
+        # and the loss forward runs in train mode during training
+        # (reference: train_hallucidet.py:102-105, :179-180).
+        unfreeze = self.cfg.train_det
+        det_frozen = det_params if unfreeze else jax.lax.stop_gradient(det_params)
         losses_det, det_hall = self.detector.calculate_loss(
             {"params": det_frozen}, hallucinated, targets_ir,
-            train_det=False, rng=rng,
+            train_det=unfreeze and train, rng=rng,
         )
 
         name = self.detector.name
@@ -216,6 +229,31 @@ class HalluciDetModule:
 
     def make_train_step(self) -> Callable:
         tx = self.tx
+
+        if self.cfg.train_det:
+            # unfrozen detector: state[0] = {"ed": ..., "det": ...} and both
+            # trees receive optimizer updates (reference:
+            # train_hallucidet.py:429-435 optimizes enc-dec + detector).
+            def step(state, batch, rng):
+                params, ed_bs, opt_state = state
+                imgs_rgb, t_rgb, imgs_ir, t_ir = batch
+
+                def loss_fn(p):
+                    total, new_bs, logs, _, _ = self.forward_step(
+                        p["ed"], ed_bs, p["det"],
+                        imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
+                        train=True, with_baseline_detections=False,
+                    )
+                    return total, (new_bs, logs)
+
+                (total, (new_bs, logs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, opt_state), logs
+
+            return step
 
         def step(state, batch, rng):
             ed_params, ed_bs, opt_state = state

@@ -72,6 +72,40 @@ def test_precision16_close_to_fp32():
     assert abs(float(t16) - float(t32)) / max(abs(float(t32)), 1e-6) < 0.25
 
 
+def test_train_det_unfreezes_detector():
+    """cfg.train_det=True must flow gradients into the detector params and
+    update them (reference: train_hallucidet.py:102-105, :429-435)."""
+    cfg = HalluciDetTrainConfig(
+        detector="fasterrcnn", decoder_backbone="resnet18", input_size=64,
+        train_det=True,
+    )
+    m = HalluciDetModule(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64))
+    m.detector.impl = FasterRCNN(SMALL_DET, image_size=(64, 64))
+    m.det_variables = m.detector.impl.init(jax.random.PRNGKey(1))
+    params = {"ed": m.ed_variables["params"], "det": m.det_variables["params"]}
+    opt_state = m.tx.init(params)
+    step = jax.jit(m.make_train_step())
+    state = (params, m.ed_variables.get("batch_stats", {}), opt_state)
+    state, logs = step(state, _batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["total"]))
+    before = jax.tree_util.tree_leaves_with_path(params["det"])
+    after = jax.tree_util.tree_leaves_with_path(state[0]["det"])
+    for (path, b), (_, a) in zip(before, after):
+        name = jax.tree_util.keystr(path)
+        is_frozen_bn = any(
+            k in name for k in ("running_mean", "running_var")
+        ) or ("bn" in name and "['body']" in name) or (
+            "downsample_1" in name and "['body']" in name
+        )
+        moved = float(jnp.abs(a - b).max()) > 0
+        if is_frozen_bn:
+            # FrozenBatchNorm constants never train, exactly like
+            # torchvision's FrozenBatchNorm2d buffers
+            assert not moved, f"frozen-BN leaf moved: {name}"
+        else:
+            assert moved, f"trainable detector leaf did not move: {name}"
+
+
 def test_cnn_based_da_baseline():
     model = CnnBasedThermalInfraredDA(
         model_name="fasterrcnn", preprocessing="invert_equalization",
