@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hallucidet_tpu.nn.layers import BatchNorm, conv, make_activation
+from hallucidet_tpu.ops.fused_upsample import depth_to_space2, s2d_conv_kernel
 from hallucidet_tpu.ops.image_ops import upsample_nearest
 
 
@@ -29,6 +30,10 @@ class SegmentationHead(nn.Module):
     head: str = "sigmoid"  # sigmoid | relu_bn | avg_dropout_sigmoid | identity | any activation name
     dropout: float = 0.2
     avg2d: bool = True
+    # input is 2x2 space-to-depth phase form [B,H/2,W/2,4C] (UnetDecoder
+    # s2d_tail); the conv runs in phase form and the result is
+    # depth-to-spaced back before the head activation. Exact.
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(
@@ -37,11 +42,35 @@ class SegmentationHead(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        x = conv(
-            self.out_channels, self.kernel_size, 1, self.kernel_size // 2, name="0"
-        )(x)
-        if self.upsampling > 1:
-            x = upsample_nearest(x, self.upsampling)
+        if self.s2d_input:
+            from hallucidet_tpu.nn.unet_decoder import ConvParams, _phase_conv
+
+            assert self.kernel_size == 3 and self.upsampling == 1
+            kernel, bias = ConvParams(
+                (3, 3, x.shape[-1] // 4, self.out_channels), use_bias=True,
+                name="0",
+            )()
+            kt = s2d_conv_kernel(kernel).astype(x.dtype)
+            # pad output channels to a TPU-friendly width — XLA's conv is
+            # pathologically slow for O≈12 lanes; dead channels are free by
+            # comparison and sliced off before the depth-to-space.
+            n = kt.shape[-1]
+            n_pad = max(0, 64 - n)
+            if n_pad:
+                kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
+                # barrier: stop XLA from simplifying conv(x, pad(k))[..:n]
+                # back to the pathologically slow O=12 conv
+                kt = jax.lax.optimization_barrier(kt)
+            y = _phase_conv(x, kt)[..., :n]
+            y = y + jnp.tile(bias, 4)
+            x = depth_to_space2(y)
+        else:
+            x = conv(
+                self.out_channels, self.kernel_size, 1, self.kernel_size // 2,
+                name="0",
+            )(x)
+            if self.upsampling > 1:
+                x = upsample_nearest(x, self.upsampling)
         if self.head == "relu_bn":
             x = nn.relu(x)
             x = BatchNorm(self.out_channels, name="head_bn")(x, train)

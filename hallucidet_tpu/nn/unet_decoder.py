@@ -16,8 +16,14 @@ from flax import linen as nn
 
 from flax import linen as fnn
 
+import jax
+
 from hallucidet_tpu.nn.layers import Attention, BatchNorm, ConvBnReLU
-from hallucidet_tpu.ops.fused_upsample import upsample2_concat_conv3x3
+from hallucidet_tpu.ops.fused_upsample import (
+    s2d_conv_kernel,
+    up_phase_conv_kernel,
+    upsample2_concat_conv3x3,
+)
 from hallucidet_tpu.ops.image_ops import upsample_nearest
 
 
@@ -58,6 +64,106 @@ class FusedUpConvBnReLU(nn.Module):
         if self.use_batchnorm:
             x = BatchNorm(self.features, name="1")(x, train)
         return nn.relu(x)
+
+
+class ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params ('kernel', optional 'bias') without
+    applying them — callers apply a transformed kernel. Used by the phase-form
+    (space-to-depth) fast paths so checkpoints stay interchangeable."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", fnn.initializers.lecun_normal(), self.shape)
+        bias = (
+            self.param("bias", fnn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _fast_mode() -> bool:
+    prec = jax.config.jax_default_matmul_precision
+    return prec not in ("highest", "float32")
+
+
+def _phase_conv(x, kernel):
+    """conv3x3 SAME used by the phase-form tail. The optimization barrier
+    keeps XLA from mega-fusing it with the producer conv (measured 45 GF/ms
+    fused vs ~2x better split); in fast mode (jax_default_matmul_precision
+    not highest/float32) the conv computes in bf16 like every other matmul
+    in fast mode — the output returns to the input dtype."""
+    x = jax.lax.optimization_barrier(x)
+    out_dtype = x.dtype
+    if _fast_mode() and x.dtype == jnp.float32:
+        x = x.astype(jnp.bfloat16)
+        kernel = kernel.astype(jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+    return out.astype(out_dtype)
+
+
+class _S2DConvBnReLU(nn.Module):
+    """ConvBnReLU computed in 2x2 space-to-depth (phase) form. Param tree is
+    identical to ConvBnReLU ('0' conv [3,3,Cin,O], '1' bn over O); the BN runs
+    on a [..., 4, O] view so its stats/params stay per-O (full-res exact)."""
+
+    features: int
+    in_channels: int
+    use_batchnorm: bool = True
+    mode: str = "s2d"  # 's2d': x is [B,h,w,4Cin]; 'up': x is coarse [B,h,w,Cin]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        o = self.features
+        kernel, bias = ConvParams(
+            (3, 3, self.in_channels, o), use_bias=not self.use_batchnorm,
+            name="0",
+        )()
+        kt = (
+            up_phase_conv_kernel(kernel)
+            if self.mode == "up"
+            else s2d_conv_kernel(kernel)
+        )
+        y = _phase_conv(x, kt.astype(x.dtype))
+        if bias is not None:
+            y = y + jnp.tile(bias, 4)
+        if self.use_batchnorm:
+            b_, h_, w_, _ = y.shape
+            y = BatchNorm(o, name="1")(y.reshape(b_, h_, w_, 4, o), train)
+            y = y.reshape(b_, h_, w_, 4 * o)
+        return nn.relu(y)
+
+
+class S2DTailBlock(nn.Module):
+    """The final (skip-less, attention-free) DecoderBlock computed in phase
+    form: the 2x nearest-upsample never materializes and the thin full-res
+    convs become 4x-channel convs at half resolution (exact up to float
+    reassociation; see ops/fused_upsample.py transforms). Output stays in
+    phase form [B, h, w, 4*out_channels] for the (also phase-form)
+    segmentation head. Param tree identical to DecoderBlock."""
+
+    out_channels: int
+    use_batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x_coarse, train: bool = False):
+        y = _S2DConvBnReLU(
+            self.out_channels, x_coarse.shape[-1], self.use_batchnorm,
+            mode="up", name="conv1",
+        )(x_coarse, train)
+        y = _S2DConvBnReLU(
+            self.out_channels, self.out_channels, self.use_batchnorm,
+            mode="s2d", name="conv2",
+        )(y, train)
+        return y
 
 
 class DecoderBlock(nn.Module):
@@ -137,6 +243,10 @@ class UnetDecoder(nn.Module):
     use_skips: bool = True  # False => UnetModified (skip connections removed)
     fused: bool = False  # exact fused upsample+concat+conv (ops/fused_upsample)
     remat: bool = False  # rematerialize blocks (see nn/resnet.py ResNet.remat)
+    # compute the final block in space-to-depth phase form and return
+    # [B, H/2, W/2, 4*decoder_channels[-1]] — the segmentation head must then
+    # run with s2d_input=True (translation/unet.py coordinates this)
+    s2d_tail: bool = False
 
     @nn.compact
     def __call__(
@@ -154,8 +264,25 @@ class UnetDecoder(nn.Module):
             if self.remat
             else DecoderBlock
         )
+        last = len(self.decoder_channels) - 1
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if (self.use_skips and i < len(skips)) else None
+            if (
+                self.s2d_tail
+                and i == last
+                and skip is None
+                and self.attention_type is None
+            ):
+                tail_cls = (
+                    nn.remat(S2DTailBlock, static_argnums=(2,))
+                    if self.remat
+                    else S2DTailBlock
+                )
+                return tail_cls(
+                    out_channels=out_ch,
+                    use_batchnorm=self.use_batchnorm,
+                    name=f"block_{i}",
+                )(x, train)
             x = block_cls(
                 out_channels=out_ch,
                 skip_channels=0 if skip is None else skip.shape[-1],

@@ -83,3 +83,86 @@ def upsample2_concat_conv3x3(
     if bias is not None:
         out = out + bias
     return out
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth (phase-form) conv transforms — the decoder-tail fast path.
+#
+# XLA's thin-channel convs at full resolution (16ch @ 1024x1280) run ~10-20x
+# off their roofline in-context (bad intermediate layouts, C on the lane
+# dim). Keeping the tail in 2x2 space-to-depth form turns them into
+# 4x-channel convs at half resolution — same FLOPs, healthy MXU shapes —
+# with the kernels transformed once per call (tiny [3,3,C,O] einsums).
+# All transforms are exact up to float reassociation.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/2,W/2,4C], channel order (ry, rx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,h,w,4C] (channel order (py, px, c)) -> [B,2h,2w,C]."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [3,3,4C,4O]: conv3x3(x) == D2S(conv3x3'(S2D(x))).
+
+    W'[Dy,Dx,(ry,rx,c),(py,px,o)] = k[dy,dx,c,o] with
+    dy = 2(Dy-1)+ry-py+1 when in 0..2 (else 0), dx likewise."""
+    import numpy as np
+
+    c, o = k.shape[2], k.shape[3]
+    D = np.arange(3)[:, None, None]      # Dy/Dx
+    r = np.arange(2)[None, :, None]      # ry/rx
+    p = np.arange(2)[None, None, :]      # py/px
+    d = 2 * (D - 1) + r - p + 1          # [3,2,2]
+    valid = (d >= 0) & (d <= 2)
+    dsafe = np.clip(d, 0, 2)
+    # gather k over (dy, dx) -> [3,2,2, 3,2,2, C, O]
+    dy = dsafe[:, :, :, None, None, None]
+    dx = dsafe[None, None, None, :, :, :]
+    g = k[jnp.asarray(np.broadcast_to(dy, (3, 2, 2, 3, 2, 2))),
+          jnp.asarray(np.broadcast_to(dx, (3, 2, 2, 3, 2, 2)))]
+    m = valid[:, :, :, None, None, None] & valid[None, None, None]
+    g = g * jnp.asarray(m[..., None, None], k.dtype)
+    # -> [Dy, Dx, ry, rx, C, py, px, O] -> [3,3,4C,4O]
+    g = jnp.transpose(g, (0, 3, 1, 4, 6, 2, 5, 7))
+    return g.reshape(3, 3, 4 * c, 4 * o)
+
+
+def up_phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [3,3,C,4O]: conv3x3(up2(x)) == D2S(conv3x3'(x)).
+
+    Taps of the full-res conv that land on the same coarse pixel are
+    pre-summed (same math as _phase_kernel, laid out as one 3x3 conv):
+    W'[Dy,Dx,c,(py,px,o)] = sum over dy with (py+dy-1)//2 == Dy-1,
+    dx with (px+dx-1)//2 == Dx-1 of k[dy,dx,c,o]."""
+    c, o = k.shape[2], k.shape[3]
+    rows = []
+    for Dy in range(3):
+        cols = []
+        for Dx in range(3):
+            phases = []
+            for py in range(2):
+                for px in range(2):
+                    acc = jnp.zeros((c, o), k.dtype)
+                    for dy in range(3):
+                        if (py + dy - 1) // 2 != Dy - 1:
+                            continue
+                        for dx in range(3):
+                            if (px + dx - 1) // 2 != Dx - 1:
+                                continue
+                            acc = acc + k[dy, dx]
+                    phases.append(acc)
+            cols.append(jnp.concatenate(phases, axis=-1))  # [c, 4o]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [3,3,c,4o]

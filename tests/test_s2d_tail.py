@@ -1,0 +1,114 @@
+"""Space-to-depth (phase-form) decoder tail: exactness + transforms.
+
+The s2d tail (nn/unet_decoder.py S2DTailBlock + heads.py s2d_input) computes
+the final DecoderBlock and head conv in 2x2 phase form — the TPU fast path
+for the reference hot loop (src/segmentation_models/decoders/unet/decoder.py:
+38-46). These tests pin that it is numerically the standard path (tests run
+at jax_default_matmul_precision=highest, the parity mode, so the comparison
+is exact to f32 reassociation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hallucidet_tpu.ops.fused_upsample import (
+    depth_to_space2,
+    s2d_conv_kernel,
+    space_to_depth2,
+    up_phase_conv_kernel,
+)
+from hallucidet_tpu.ops.image_ops import upsample_nearest
+from hallucidet_tpu.translation.unet import Unet
+
+
+def _conv(x, k):
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+
+
+def test_s2d_round_trip():
+    x = jnp.arange(2 * 8 * 12 * 5, dtype=jnp.float32).reshape(2, 8, 12, 5)
+    np.testing.assert_array_equal(depth_to_space2(space_to_depth2(x)), x)
+
+
+def test_s2d_conv_kernel_exact():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = _conv(x, k)
+    got = depth_to_space2(_conv(space_to_depth2(x), s2d_conv_kernel(k)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_up_phase_conv_kernel_exact():
+    rng = np.random.RandomState(1)
+    xc = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = _conv(upsample_nearest(xc, 2), k)
+    got = depth_to_space2(_conv(xc, up_phase_conv_kernel(k)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def unet_pair():
+    m_std = Unet(encoder_name="resnet18", s2d_tail=False)
+    m_s2d = Unet(encoder_name="resnet18", s2d_tail=True)
+    v = m_std.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    return m_std, m_s2d, v
+
+
+def test_s2d_tail_param_tree_identical(unet_pair):
+    m_std, m_s2d, v = unet_pair
+    v2 = m_s2d.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+
+
+def test_s2d_tail_eval_exact(unet_pair):
+    m_std, m_s2d, v = unet_pair
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 96, 3), jnp.float32)
+    y_std = m_std.apply(v, x, False)
+    y_s2d = m_s2d.apply(v, x, False)
+    np.testing.assert_allclose(y_s2d, y_std, atol=1e-5)
+
+
+def test_s2d_tail_train_stats_exact(unet_pair):
+    m_std, m_s2d, v = unet_pair
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 96, 3), jnp.float32)
+    y1, u1 = m_std.apply(v, x, True, mutable=["batch_stats"])
+    y2, u2 = m_s2d.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(y2, y1, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+def test_s2d_tail_gradients_match(unet_pair):
+    m_std, m_s2d, v = unet_pair
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3), jnp.float32)
+
+    def loss(m):
+        return lambda p: (m.apply({**v, "params": p}, x, False) ** 2).sum()
+
+    g1 = jax.grad(loss(m_std))(v["params"])
+    g2 = jax.grad(loss(m_s2d))(v["params"])
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        np.testing.assert_allclose(
+            b, a, rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
+def test_s2d_tail_disabled_with_attention():
+    # attention blocks need full-resolution features; the flag must fall back
+    m = Unet(encoder_name="resnet18", s2d_tail=True,
+             decoder_attention_type="scse")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    y = m.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    assert y.shape == (1, 64, 64, 3)
