@@ -227,6 +227,24 @@ class SingleModalDataModule:
         return self._loader(self.test_ds, False)
 
 
+class MultimodalDatasetTransform:
+    """Post-split wrapper applying a JointSpatialTransform (or any callable
+    (img_rgb, t_rgb, img_ir, t_ir, rng) -> same) to the train subset —
+    the reference's multimodal DatasetTransform (dataloaderPL.py:14-91)."""
+
+    def __init__(self, subset, transform, rng=None):
+        self.subset = subset
+        self.transform = transform
+        self.rng = rng or np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.subset)
+
+    def __getitem__(self, i):
+        img_rgb, t_rgb, img_ir, t_ir = self.subset[i]
+        return self.transform(img_rgb, t_rgb, img_ir, t_ir, self.rng)
+
+
 class MultiModalDataModule:
     """Paired RGB+IR module (reference: dataloaderPL.py:176-259)."""
 
@@ -250,7 +268,7 @@ class MultiModalDataModule:
     ):
         from hallucidet_tpu.data.datasets import MultiModalDetectionDataset
 
-        del num_workers, data_augmentation, fixed_transformations
+        del num_workers, fixed_transformations
         full = MultiModalDetectionDataset(
             dataset=dataset, path_images_rgb=path_images_train_rgb,
             path_images_ir=path_images_train_ir, modality="both",
@@ -259,6 +277,14 @@ class MultiModalDataModule:
         self.train_ds, self.valid_ds = split_dataset(
             full, split_ratio_train_valid, seed
         )
+        if data_augmentation is not None:
+            # post-split joint transform, like the reference's
+            # DatasetTransform wrapper (dataloaderPL.py:14-91): ONE compose
+            # over both modalities with shared bbox params, train split only.
+            self.train_ds = MultimodalDatasetTransform(
+                self.train_ds, data_augmentation,
+                rng=np.random.default_rng(seed),
+            )
         self.test_ds = MultiModalDetectionDataset(
             dataset=dataset, path_images_rgb=path_images_test_rgb,
             path_images_ir=path_images_test_ir, modality="both",

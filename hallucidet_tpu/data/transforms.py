@@ -199,3 +199,151 @@ class DetectorAugmentation:
         if rng.random() < self.p_equalize:
             img = equalize(img)
         return img
+
+
+# ---------------------------------------------------------------------------
+# Joint bbox-aware spatial augmentation (the reference's multimodal
+# DatasetTransform machinery: ONE albumentations compose over both modalities
+# with shared bbox params — reference: src/dataloader/dataloaderPL.py:44-86).
+# numpy, seeded; boxes are xyxy float arrays, labels int arrays.
+# ---------------------------------------------------------------------------
+
+
+def _clip_boxes(boxes, labels, w, h, min_area=0.0, min_visibility=0.0):
+    """albumentations-style post-transform box handling: clip to the frame,
+    drop boxes whose clipped area is 0 / below thresholds."""
+    if len(boxes) == 0:
+        return boxes, labels
+    boxes = np.asarray(boxes, np.float32)
+    orig_area = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    clipped = boxes.copy()
+    clipped[:, 0::2] = np.clip(clipped[:, 0::2], 0, w)
+    clipped[:, 1::2] = np.clip(clipped[:, 1::2], 0, h)
+    area = np.maximum(clipped[:, 2] - clipped[:, 0], 0) * np.maximum(
+        clipped[:, 3] - clipped[:, 1], 0
+    )
+    vis = np.where(orig_area > 0, area / np.maximum(orig_area, 1e-9), 0.0)
+    keep = (area > min_area) & (vis > min_visibility) & (area > 0)
+    return clipped[keep], np.asarray(labels)[keep]
+
+
+class HorizontalFlip:
+    """alb.HorizontalFlip(p) over both modalities with one coin flip."""
+
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.p:
+            return sample
+        img_rgb, b_rgb, l_rgb, img_ir, b_ir, l_ir = sample
+        w = img_rgb.shape[1]
+
+        def flip_boxes(b):
+            if len(b) == 0:
+                return b
+            b = np.asarray(b, np.float32).copy()
+            b[:, [0, 2]] = w - b[:, [2, 0]]
+            return b
+
+        return (
+            img_rgb[:, ::-1].copy(), flip_boxes(b_rgb), l_rgb,
+            img_ir[:, ::-1].copy(), flip_boxes(b_ir), l_ir,
+        )
+
+
+class RandomCrop:
+    """alb.RandomCrop(height, width, p): one crop window shared by both
+    modalities; boxes shifted, clipped, and dropped when empty."""
+
+    def __init__(self, height: int, width: int, p: float = 1.0,
+                 min_area: float = 0.0, min_visibility: float = 0.0):
+        self.height, self.width, self.p = height, width, p
+        self.min_area, self.min_visibility = min_area, min_visibility
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.p:
+            return sample
+        img_rgb, b_rgb, l_rgb, img_ir, b_ir, l_ir = sample
+        h, w = img_rgb.shape[:2]
+        ch, cw = min(self.height, h), min(self.width, w)
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+
+        def crop_img(im):
+            return im[y0:y0 + ch, x0:x0 + cw].copy()
+
+        def crop_boxes(b, lab):
+            if len(b) == 0:
+                return np.asarray(b, np.float32).reshape(0, 4), np.asarray(lab)
+            b = np.asarray(b, np.float32).copy()
+            b[:, [0, 2]] -= x0
+            b[:, [1, 3]] -= y0
+            return _clip_boxes(b, lab, cw, ch, self.min_area,
+                               self.min_visibility)
+
+        b_rgb2, l_rgb2 = crop_boxes(b_rgb, l_rgb)
+        b_ir2, l_ir2 = crop_boxes(b_ir, l_ir)
+        return (crop_img(img_rgb), b_rgb2, l_rgb2,
+                crop_img(img_ir), b_ir2, l_ir2)
+
+
+class Resize:
+    """alb.Resize(height, width): nearest-neighbor (deterministic, matching
+    the repo's deterministic-upsampling stance); boxes scaled."""
+
+    def __init__(self, height: int, width: int):
+        self.height, self.width = height, width
+
+    def _resize(self, im):
+        h, w = im.shape[:2]
+        ys = (np.arange(self.height) * h // self.height).clip(0, h - 1)
+        xs = (np.arange(self.width) * w // self.width).clip(0, w - 1)
+        return im[ys][:, xs].copy()
+
+    def __call__(self, sample, rng):
+        img_rgb, b_rgb, l_rgb, img_ir, b_ir, l_ir = sample
+        h, w = img_rgb.shape[:2]
+        sy, sx = self.height / h, self.width / w
+
+        def scale(b):
+            if len(b) == 0:
+                return np.asarray(b, np.float32).reshape(0, 4)
+            b = np.asarray(b, np.float32).copy()
+            b[:, [0, 2]] *= sx
+            b[:, [1, 3]] *= sy
+            return b
+
+        return (self._resize(img_rgb), scale(b_rgb), l_rgb,
+                self._resize(img_ir), scale(b_ir), l_ir)
+
+
+class JointSpatialTransform:
+    """The reference's joint compose with shared bbox params and its
+    all-boxes-dropped fallback: when every RGB box is dropped, the
+    PRE-transform targets are restored (for both modalities) while the
+    transformed images are kept — quirk preserved from dataloaderPL.py:84-86.
+    """
+
+    def __init__(self, ops):
+        self.ops = list(ops)
+
+    def __call__(self, img_rgb, target_rgb, img_ir, target_ir, rng):
+        before_rgb = {k: np.asarray(v).copy() for k, v in target_rgb.items()}
+        before_ir = {k: np.asarray(v).copy() for k, v in target_ir.items()}
+        sample = (
+            img_rgb, target_rgb["boxes"], target_rgb["labels"],
+            img_ir, target_ir["boxes"], target_ir["labels"],
+        )
+        for op in self.ops:
+            sample = op(sample, rng)
+        img_rgb, b_rgb, l_rgb, img_ir, b_ir, l_ir = sample
+        t_rgb = {"boxes": np.asarray(b_rgb, np.float32).reshape(-1, 4),
+                 "labels": np.asarray(l_rgb)}
+        t_ir = {"boxes": np.asarray(b_ir, np.float32).reshape(-1, 4),
+                "labels": np.asarray(l_ir)}
+        if len(t_rgb["boxes"]) == 0:
+            t_rgb, t_ir = before_rgb, before_ir
+        return img_rgb, t_rgb, img_ir, t_ir

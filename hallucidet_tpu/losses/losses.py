@@ -1,12 +1,12 @@
 """Reconstruction loss selection (pixel + perceptual).
 
 Rebuild of the reference glue (reference: src/losses/losses.py:5-48): pixel
-mse/l1; perceptual psnr/ssim/msssim implemented natively in XLA. The
-reference's CLI also names lpips_{alexnet,vgg,squeeze} (config.py:163) but
-only wires them through the external `lpips` package; here LPIPS requires a
-converted backbone checkpoint (zero-egress environment) and raises with
-instructions until one is provided. Default training uses detector loss only
-(all reconstruction weights 0), matching the reference.
+mse/l1; perceptual psnr/ssim/msssim implemented natively in XLA; LPIPS
+(lpips_{alexnet,vgg,squeeze}, config.py:163) implemented natively in Flax
+(losses/lpips.py) — pretrained towers load from a converted checkpoint via
+HALLUCIDET_LPIPS_WEIGHTS, otherwise a fixed-seed random-feature tower serves
+as the documented zero-egress fallback. Default training uses detector loss
+only (all reconstruction weights 0), matching the reference.
 """
 
 from __future__ import annotations
@@ -62,9 +62,14 @@ class Reconstruction:
         if name in table:
             return table[name]
         if name.startswith("lpips"):
-            raise NotImplementedError(
-                "LPIPS needs a converted torch backbone checkpoint in this "
-                "zero-egress build; convert one with interop.torch_loader and "
-                "wire it through translation features, or use ssim/msssim."
-            )
+            from hallucidet_tpu.losses.lpips import lpips_loss
+
+            # reference names: lpips_alexnet / lpips_vgg / lpips_squeeze
+            # (config.py:163); lpips package nets: alex / vgg / squeeze
+            net = name.split("_", 1)[1] if "_" in name else "alex"
+            net = {"alexnet": "alex", "alex": "alex", "vgg": "vgg",
+                   "squeeze": "squeeze"}.get(net)
+            if net is None:
+                raise ValueError(f"unknown lpips variant {name}")
+            return lpips_loss(net)
         raise ValueError(f"unknown perceptual loss {name}")

@@ -1,0 +1,211 @@
+"""Native LPIPS perceptual loss (reference: src/losses/losses.py:6-24, which
+wires the `lpips` package's alex/vgg/squeeze variants).
+
+Structure mirrors richzhang/PerceptualSimilarity LPIPS v0.1 exactly:
+input scaling layer -> frozen feature tower (AlexNet / VGG16 / SqueezeNet1.1
+feature slices) -> per-layer channel-unit-normalize -> squared diff -> 1x1
+linear calibration head -> spatial mean -> sum over layers. Inputs follow the
+lpips convention (caller's range is used as-is, like the reference which
+passes sigmoid outputs directly).
+
+Weights: this is a zero-egress build, so pretrained tower + lin weights load
+through `load_lpips_npz` (converted offline from the lpips package's state
+dict via interop-style OIHW->HWIO transposes). Without a checkpoint the loss
+falls back to a fixed-seed random feature tower — random-feature perceptual
+distances are a documented, usable baseline, and the selection surface stays
+drop-in (`Reconstruction.select_loss_perceptual('lpips_alex')`).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hallucidet_tpu.nn.layers import conv
+
+
+def _mp(x, window=3, stride=2):
+    """torch MaxPool2d(window, stride) — floor mode, no padding."""
+    h, w = x.shape[1:3]
+    vh = (h - window) // stride * stride + window
+    vw = (w - window) // stride * stride + window
+    return nn.max_pool(
+        x[:, :vh, :vw], (window, window), strides=(stride, stride)
+    )
+
+
+class AlexFeatures(nn.Module):
+    """torchvision AlexNet.features, sliced after each ReLU (5 stages)."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        x = nn.relu(conv(64, 11, 4, 2, name="features_0")(x))
+        feats.append(x)
+        x = _mp(x)
+        x = nn.relu(conv(192, 5, 1, 2, name="features_3")(x))
+        feats.append(x)
+        x = _mp(x)
+        x = nn.relu(conv(384, 3, 1, 1, name="features_6")(x))
+        feats.append(x)
+        x = nn.relu(conv(256, 3, 1, 1, name="features_8")(x))
+        feats.append(x)
+        x = nn.relu(conv(256, 3, 1, 1, name="features_10")(x))
+        feats.append(x)
+        return feats
+
+
+class VGG16Features(nn.Module):
+    """torchvision VGG16.features at relu1_2/2_2/3_3/4_3/5_3."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        cfg = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        idx = 0
+        for si, (ch, n) in enumerate(cfg):
+            for _ in range(n):
+                x = nn.relu(conv(ch, 3, 1, 1, name=f"features_{idx}")(x))
+                idx += 2  # conv + relu in the torch indexing
+            feats.append(x)
+            if si < len(cfg) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                idx += 1
+        return feats
+
+
+class Fire(nn.Module):
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(conv(self.squeeze, 1, name="squeeze")(x))
+        e1 = nn.relu(conv(self.expand, 1, name="expand1x1")(s))
+        e3 = nn.relu(conv(self.expand, 3, 1, 1, name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeFeatures(nn.Module):
+    """torchvision SqueezeNet1.1 features, lpips' 7 slices."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        x = nn.relu(conv(64, 3, 2, 0, name="features_0")(x))
+        feats.append(x)  # slice1: 64
+        x = _mp(x)
+        x = Fire(16, 64, name="features_3")(x)
+        x = Fire(16, 64, name="features_4")(x)
+        feats.append(x)  # slice2: 128
+        x = _mp(x)
+        x = Fire(32, 128, name="features_6")(x)
+        x = Fire(32, 128, name="features_7")(x)
+        feats.append(x)  # slice3: 256
+        x = _mp(x)
+        x = Fire(48, 192, name="features_9")(x)
+        feats.append(x)  # slice4: 384
+        x = Fire(48, 192, name="features_10")(x)
+        feats.append(x)  # slice5: 384
+        x = Fire(64, 256, name="features_11")(x)
+        feats.append(x)  # slice6: 512
+        x = Fire(64, 256, name="features_12")(x)
+        feats.append(x)  # slice7: 512
+        return feats
+
+
+_TOWERS = {
+    "alex": (AlexFeatures, 5),
+    "vgg": (VGG16Features, 5),
+    "squeeze": (SqueezeFeatures, 7),
+}
+
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
+
+
+def _unit_normalize(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """lpips.LPIPS(net=...) equivalent; __call__(x, y) -> [B] distances."""
+
+    net: str = "alex"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        tower_cls, n_layers = _TOWERS[self.net]
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
+        tower = tower_cls(name="net")
+        fx = tower((x - shift) / scale)
+        fy = tower((y - shift) / scale)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+            w = conv(1, 1, use_bias=False, name=f"lin{i}")(d)
+            total = total + jnp.mean(w, axis=(1, 2, 3))
+        return total
+
+
+def load_lpips_npz(path: str):
+    """Load a converted LPIPS checkpoint: an .npz whose keys are the flax
+    param paths joined with '/' (e.g. 'net/features_0/kernel', 'lin0/kernel'),
+    already in HWIO layout. Produced offline from the lpips package with
+    interop.torch_loader.conv_kernel."""
+    raw = dict(np.load(path))
+    tree = {}
+    for k, v in raw.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return {"params": tree}
+
+
+@lru_cache(maxsize=4)
+def _build(net: str, hw=(64, 64)):
+    model = LPIPS(net=net)
+    path = os.environ.get("HALLUCIDET_LPIPS_WEIGHTS")
+    dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    if path:
+        variables = load_lpips_npz(path)
+        # validate against the module's expected tree
+        expect = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        exp_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(expect)
+        }
+        got_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(variables)
+        }
+        missing = exp_paths - got_paths
+        if missing:
+            raise ValueError(f"LPIPS checkpoint {path} missing: {sorted(missing)}")
+    else:
+        # fixed-seed random tower (documented fallback; zero-egress build)
+        variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        # lpips lin heads are nonnegative after training; abs() keeps the
+        # random-feature distance a proper (>=0) metric
+        variables = jax.tree_util.tree_map(jnp.abs, variables)
+    return model, variables
+
+
+def lpips_loss(net: str):
+    """-> loss(target, pred) averaging LPIPS distances over the batch."""
+
+    def loss(target: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+        model, variables = _build(net)
+        return jnp.mean(model.apply(variables, target, pred))
+
+    return loss

@@ -82,6 +82,25 @@ def conv(
     )
 
 
+class ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params ('kernel', optional 'bias') without
+    applying them — callers apply a transformed kernel (the space-to-depth
+    fast paths), so checkpoints stay interchangeable with plain nn.Conv."""
+
+    shape: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class ConvBnReLU(nn.Module):
     """Conv(3x3, pad 1) -> BN -> ReLU, bias iff no batchnorm (reference:
     src/segmentation_models/base/modules.py:10-47 Conv2dReLU)."""

@@ -18,7 +18,9 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hallucidet_tpu.nn.layers import BatchNorm, FrozenBatchNorm, conv
+import jax
+
+from hallucidet_tpu.nn.layers import BatchNorm, ConvParams, FrozenBatchNorm, conv
 
 
 def _norm(frozen: bool, features: int, name: str):
@@ -137,6 +139,10 @@ class ResNet(nn.Module):
     # with dilation (smp make_dilated semantics, reference:
     # src/segmentation_models/encoders/_base.py / _utils.py:41-51)
     output_stride: int = 32
+    # compute the 7x7/2 stem as a 4x4/1 conv on the 2x2 space-to-depth input
+    # (exact; XLA's C=3 conv at megapixel sizes is ~6x off its roofline —
+    # PERF.md). Param layout unchanged.
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(
@@ -148,7 +154,23 @@ class ResNet(nn.Module):
         dilate_from = {32: 5, 16: 4, 8: 3}[self.output_stride]
         features = [x]
 
-        out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from hallucidet_tpu.ops.fused_upsample import (
+                s2d_stride2_conv_kernel,
+                space_to_depth2,
+            )
+
+            kernel, _ = ConvParams((7, 7, x.shape[-1], 64), name="conv1")()
+            kt = s2d_stride2_conv_kernel(kernel).astype(x.dtype)
+            xs = space_to_depth2(x)
+            dn = jax.lax.conv_dimension_numbers(
+                xs.shape, kt.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            out = jax.lax.conv_general_dilated(
+                xs, kt, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+            )
+        else:
+            out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
         out = _apply_norm(_norm(self.frozen_bn, 64, "bn1"), out, train)
         out = nn.relu(out)
         features.append(out)

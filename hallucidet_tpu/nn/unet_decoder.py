@@ -66,23 +66,7 @@ class FusedUpConvBnReLU(nn.Module):
         return nn.relu(x)
 
 
-class ConvParams(nn.Module):
-    """Declares nn.Conv-compatible params ('kernel', optional 'bias') without
-    applying them — callers apply a transformed kernel. Used by the phase-form
-    (space-to-depth) fast paths so checkpoints stay interchangeable."""
-
-    shape: Tuple[int, ...]
-    use_bias: bool = False
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", fnn.initializers.lecun_normal(), self.shape)
-        bias = (
-            self.param("bias", fnn.initializers.zeros, (self.shape[-1],))
-            if self.use_bias
-            else None
-        )
-        return kernel, bias
+from hallucidet_tpu.nn.layers import ConvParams  # noqa: F401 (re-export)
 
 
 def _fast_mode() -> bool:

@@ -166,3 +166,37 @@ def up_phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
             cols.append(jnp.concatenate(phases, axis=-1))  # [c, 4o]
         rows.append(jnp.stack(cols, axis=0))
     return jnp.stack(rows, axis=0)  # [3,3,c,4o]
+
+
+def s2d_stride2_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[K,K,C,O] (odd K, stride-2 'same' conv) -> [(K+1)/2+1, ., 4C, O]:
+    conv_s2(x) == conv_s1(S2D(x), k') with padding (K//2+1)//2 each... —
+    computed for the ResNet stem case K=7: out[i,j] reads rows 2i+dy-3,
+    dy in 0..6; in S2D coords row = i + delta with delta = (dy-3-ry)/2,
+    ry = (dy+1)%2, giving a 4-tap kernel with padding (2,1)."""
+    import numpy as np
+
+    kk, _, c, o = k.shape
+    assert kk == 7, "stem transform implemented for 7x7 stride-2"
+    out = np.zeros((4, 4, 2, 2, 1, 1), np.float32)  # occupancy map only
+    pieces = {}
+    for dy in range(7):
+        ry = (dy + 1) % 2
+        dlt = (dy - 3 - ry) // 2 + 2  # 0..3
+        pieces[(dlt, ry)] = dy
+    rows = []
+    for Dy in range(4):
+        cols = []
+        for Dx in range(4):
+            chan = []
+            for ry in range(2):
+                for rx in range(2):
+                    dy = pieces.get((Dy, ry))
+                    dx = pieces.get((Dx, rx))
+                    if dy is None or dx is None:
+                        chan.append(jnp.zeros((c, o), k.dtype))
+                    else:
+                        chan.append(k[dy, dx])
+            cols.append(jnp.concatenate(chan, axis=0))  # [4c, o]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [4,4,4c,o]
