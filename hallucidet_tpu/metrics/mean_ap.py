@@ -131,71 +131,82 @@ class MeanAveragePrecision:
         dt_matched = np.zeros((T, D), np.int64) - 1
         dt_ignore = np.zeros((T, D), bool)
         gt_matched = np.zeros((T, G), np.int64) - 1
-        for ti, thr in enumerate(IOU_THRESHOLDS):
+        if D and G:
+            # greedy matching, vectorized over (T, G); only the (inherently
+            # sequential) loop over score-ordered detections remains.
+            # pycocotools semantics: a det claims the unmatched gt with the
+            # highest IoU >= thr, preferring non-ignored gt regardless of
+            # IoU; first gt wins ties (argmax picks the first maximum).
+            thr = np.minimum(IOU_THRESHOLDS, 1 - 1e-10)[:, None]  # [T,1]
+            t_idx = np.arange(T)
             for di in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for gi in range(G):
-                    if gt_matched[ti, gi] >= 0:
-                        continue
-                    # Once we reach ignored gt, stop if we already have a match
-                    if best_g > -1 and not gt_ignore[best_g] and gt_ignore[gi]:
-                        break
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    best_g = gi
-                if best_g >= 0:
-                    gt_matched[ti, best_g] = di
-                    dt_matched[ti, di] = best_g
-                    dt_ignore[ti, di] = gt_ignore[best_g]
+                iou_d = ious[di][None, :]                       # [1,G]
+                cand = (gt_matched < 0) & (iou_d >= thr)        # [T,G]
+                cand_non = cand & ~gt_ignore[None, :]
+                use_non = cand_non.any(axis=1)                  # [T]
+                cand_eff = np.where(use_non[:, None], cand_non, cand)
+                masked = np.where(cand_eff, iou_d, -1.0)
+                best = masked.argmax(axis=1)                    # [T]
+                found = masked[t_idx, best] >= 0
+                sel = t_idx[found]
+                bg = best[found]
+                gt_matched[sel, bg] = di
+                dt_matched[sel, di] = bg
+                dt_ignore[sel, di] = gt_ignore[bg]
         # unmatched dets outside area range are ignored
         d_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * (dt_boxes[:, 3] - dt_boxes[:, 1])
         d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ignore = dt_ignore | ((dt_matched == -1) & d_out[None, :])
         return dt_scores, dt_matched >= 0, dt_ignore, int(np.sum(~gt_ignore))
 
-    def _accumulate(self, cls_list, area_rng, max_det):
-        """Per-class AP[T] and AR[T] arrays over the accumulated dataset."""
+    def _evaluate_all(self, cls_list, area_rng):
+        """Match once per (image, class) at maxDet=100; smaller maxDets slice
+        these results (greedy matching is prefix-stable in det order, the
+        pycocotools accumulate trick)."""
+        return [
+            [
+                self._evaluate_image(p, t, cls, area_rng, MAX_DETS[-1])
+                for p, t in zip(self._preds, self._targets)
+            ]
+            for cls in cls_list
+        ]
+
+    def _accumulate_from(self, evals, max_det):
+        """Per-class AP[T] / AR[T] from cached per-image match results."""
         T = len(IOU_THRESHOLDS)
-        ap = np.full((T, len(cls_list)), np.nan)
-        ar = np.full((T, len(cls_list)), np.nan)
-        for ci, cls in enumerate(cls_list):
-            scores, matched, ignored, n_gt = [], [], [], 0
-            for p, t in zip(self._preds, self._targets):
-                s, m, ig, ng = self._evaluate_image(p, t, cls, area_rng, max_det)
-                scores.append(s)
-                matched.append(m)
-                ignored.append(ig)
-                n_gt += ng
+        n_cls = len(evals)
+        ap = np.full((T, n_cls), np.nan)
+        ar = np.full((T, n_cls), np.nan)
+        eps = np.finfo(np.float64).eps
+        for ci in range(n_cls):
+            per_img = evals[ci]
+            n_gt = sum(e[3] for e in per_img)
             if n_gt == 0:
                 continue
-            scores = np.concatenate(scores) if scores else np.zeros(0)
-            matched = (
-                np.concatenate(matched, axis=1) if matched else np.zeros((T, 0), bool)
-            )
-            ignored = (
-                np.concatenate(ignored, axis=1) if ignored else np.zeros((T, 0), bool)
-            )
+            scores = np.concatenate([e[0][:max_det] for e in per_img])
+            matched = np.concatenate([e[1][:, :max_det] for e in per_img], axis=1)
+            ignored = np.concatenate([e[2][:, :max_det] for e in per_img], axis=1)
             order = np.argsort(-scores, kind="mergesort")
-            matched = matched[:, order]
-            ignored = ignored[:, order]
+            m = matched[:, order]
+            ig = ignored[:, order]
+            # ignored dets contribute neither tp nor fp: with masked cumsums
+            # they duplicate the previous PR point, which leaves the envelope,
+            # the recall endpoints, and the 101-pt interpolation unchanged.
+            tp = np.cumsum(m & ~ig, axis=1).astype(np.float64)
+            fp = np.cumsum(~m & ~ig, axis=1).astype(np.float64)
+            rec = tp / n_gt
+            prec = tp / np.maximum(tp + fp, eps)
+            n = rec.shape[1]
+            if n == 0:
+                ap[:, ci] = 0.0
+                ar[:, ci] = 0.0
+                continue
+            ar[:, ci] = rec[:, -1]
+            prec_env = np.maximum.accumulate(prec[:, ::-1], axis=1)[:, ::-1]
             for ti in range(T):
-                keep = ~ignored[ti]
-                tp = np.cumsum(matched[ti][keep])
-                fp = np.cumsum(~matched[ti][keep])
-                rec = tp / n_gt
-                prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-                ar[ti, ci] = rec[-1] if len(rec) else 0.0
-                # 101-pt interpolation: precision envelope right-to-left
-                prec = prec.tolist()
-                for i in range(len(prec) - 1, 0, -1):
-                    prec[i - 1] = max(prec[i - 1], prec[i])
-                inds = np.searchsorted(rec, RECALL_THRESHOLDS, side="left")
-                q = np.zeros(len(RECALL_THRESHOLDS))
-                for ri, pi in enumerate(inds):
-                    if pi < len(prec):
-                        q[ri] = prec[pi]
+                inds = np.searchsorted(rec[ti], RECALL_THRESHOLDS, side="left")
+                valid = inds < n
+                q = np.where(valid, prec_env[ti][np.minimum(inds, n - 1)], 0.0)
                 ap[ti, ci] = np.mean(q)
         return ap, ar
 
@@ -218,18 +229,20 @@ class MeanAveragePrecision:
             x = x[~np.isnan(x)]
             return float(np.mean(x)) if x.size else -1.0
 
-        ap_all, _ = self._accumulate(cls_list, AREA_RANGES["all"], 100)
+        evals_all = self._evaluate_all(cls_list, AREA_RANGES["all"])
+        ap_all, _ = self._accumulate_from(evals_all, 100)
         out = {
             "map": mean_or_neg(ap_all),
             "map_50": mean_or_neg(ap_all[0]),
             "map_75": mean_or_neg(ap_all[5]),
         }
         for name in ("small", "medium", "large"):
-            ap_a, ar_a = self._accumulate(cls_list, AREA_RANGES[name], 100)
+            evals_a = self._evaluate_all(cls_list, AREA_RANGES[name])
+            ap_a, ar_a = self._accumulate_from(evals_a, 100)
             out[f"map_{name}"] = mean_or_neg(ap_a)
             out[f"mar_{name}"] = mean_or_neg(ar_a)
         for md in MAX_DETS:
-            _, ar_md = self._accumulate(cls_list, AREA_RANGES["all"], md)
+            _, ar_md = self._accumulate_from(evals_all, md)
             out[f"mar_{md}"] = mean_or_neg(ar_md)
         if self.class_metrics:
             out["map_per_class"] = [mean_or_neg(ap_all[:, ci]) for ci in range(len(cls_list))]
