@@ -56,7 +56,9 @@ def dp_jit(step_fn, mesh: Mesh, donate_state: bool = True):
     partitioner emits the psum over ICI — the NCCL all-reduce equivalent —
     with zero user-level collective code.
     """
-    in_shardings = (replicated(mesh), data_sharding(mesh))
+    # (state, batch, rng): params/opt replicated, batch sharded on the
+    # leading axis, the PRNG key replicated.
+    in_shardings = (replicated(mesh), data_sharding(mesh), replicated(mesh))
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
