@@ -51,15 +51,18 @@ def main():
 
     def fused(ed_v, det_v, ir):
         ir3 = expand_one_channel_to_three(ir)
-        hall = unet.apply(ed_v, ir3, False)
+        # the s2d decoder tail hands its phase form straight to the detector
+        # resize — the full-resolution hallucinated image never materializes
+        hall = unet.apply(ed_v, ir3, False, output_phase_form=True)
         if mode == "parity":
             # the reference's eval path: loss graph + GT-augmented sampling
             _, dets = det.forward(
-                det_v, hall, targets, train_det=False, rng=jax.random.PRNGKey(1)
+                det_v, hall, targets, train_det=False,
+                rng=jax.random.PRNGKey(1), phase_form=True,
             )
         else:
             # production serving: detections only (detection/faster_rcnn.infer)
-            dets = det.infer(det_v, hall)
+            dets = det.infer(det_v, hall, phase_form=True)
         return dets.boxes, dets.scores, dets.valid
 
     fused_jit = jax.jit(fused)

@@ -402,12 +402,16 @@ class FasterRCNN:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
+        phase_form: bool = False,  # images = U-Net s2d tail output [B,H/2,W/2,4C]
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         cfg = self.config
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        original_hw = images.shape[1:3]
-        images_t, targets_t = self.transform(images, targets)
+        if phase_form:
+            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+        else:
+            original_hw = images.shape[1:3]
+        images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
 
         feats = self.module.apply(variables, images_t, method="features")
         objs, deltas = self.module.apply(variables, feats, method="rpn")
@@ -457,6 +461,7 @@ class FasterRCNN:
         variables,
         images: jnp.ndarray,
         rng: Optional[jax.Array] = None,
+        phase_form: bool = False,
     ) -> Detections:
         """Pure serving path: detections without targets or losses — the
         stock torchvision eval behavior (all post-NMS proposals through the
@@ -465,8 +470,11 @@ class FasterRCNN:
         see module docstring)."""
         del rng
         cfg = self.config
-        original_hw = images.shape[1:3]
-        images_t, _ = self.transform(images, None)
+        if phase_form:
+            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+        else:
+            original_hw = images.shape[1:3]
+        images_t, _ = self.transform(images, None, phase_form=phase_form)
 
         feats = self.module.apply(variables, images_t, method="features")
         objs, deltas = self.module.apply(variables, feats, method="rpn")

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 from hallucidet_tpu.detection.targets import Detections, Targets
 from hallucidet_tpu.ops.boxes import resize_boxes
-from hallucidet_tpu.ops.image_ops import normalize, resize_bilinear
+from hallucidet_tpu.ops.image_ops import (
+    normalize,
+    resize_bilinear,
+    resize_bilinear_from_phase2,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,15 +33,30 @@ class DetectionTransform:
     image_std: Tuple[float, ...] = (1.0,)
 
     def __call__(
-        self, images: jnp.ndarray, targets: Optional[Targets] = None
+        self,
+        images: jnp.ndarray,
+        targets: Optional[Targets] = None,
+        phase_form: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[Targets]]:
         """images NHWC in [0,1] at native resolution -> normalized fixed-size
-        batch; target boxes rescaled into the fixed frame."""
-        _, h, w, c = images.shape
-        mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
-        std = self.image_std * (c if len(self.image_std) == 1 else 1)
-        out = normalize(images, mean, std)
-        out = resize_bilinear(out, self.size)
+        batch; target boxes rescaled into the fixed frame.
+
+        phase_form=True: `images` is the U-Net s2d tail's 2x2 space-to-depth
+        output [B, H/2, W/2, 4C]; the resize consumes it directly (exact,
+        no full-resolution materialization)."""
+        if phase_form:
+            _, h2, w2, c4 = images.shape
+            h, w, c = 2 * h2, 2 * w2, c4 // 4
+            mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
+            std = self.image_std * (c if len(self.image_std) == 1 else 1)
+            out = normalize(images, mean * 4, std * 4)
+            out = resize_bilinear_from_phase2(out, self.size)
+        else:
+            _, h, w, c = images.shape
+            mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
+            std = self.image_std * (c if len(self.image_std) == 1 else 1)
+            out = normalize(images, mean, std)
+            out = resize_bilinear(out, self.size)
         new_targets = None
         if targets is not None:
             boxes = resize_boxes(targets.boxes, (h, w), self.size)

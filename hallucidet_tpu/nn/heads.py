@@ -41,6 +41,7 @@ class SegmentationHead(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
+        keep_phase_form: bool = False,
     ) -> jnp.ndarray:
         if self.s2d_input:
             from hallucidet_tpu.nn.unet_decoder import ConvParams, _phase_conv
@@ -63,6 +64,14 @@ class SegmentationHead(nn.Module):
                 kt = jax.lax.optimization_barrier(kt)
             y = _phase_conv(x, kt)[..., :n]
             y = y + jnp.tile(bias, 4)
+            if keep_phase_form and self.head in (
+                "sigmoid", "identity", None, "tanh",
+            ):
+                # elementwise activations commute with the phase
+                # interleave: return [B,H/2,W/2,4*out] for consumers that
+                # can read phase form (ops/image_ops.py
+                # resize_bilinear_from_phase2)
+                return make_activation(self.head)(y)
             x = depth_to_space2(y)
         else:
             x = conv(

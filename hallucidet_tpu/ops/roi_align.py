@@ -56,29 +56,21 @@ def _interp_weights(coords: jnp.ndarray, extent: int) -> jnp.ndarray:
     return jnp.where(inside[..., None], w, 0.0)
 
 
-def _use_pallas() -> bool:
-    """Measured on v5e: the pooling-folded bf16 einsum path (6.8ms/batch at
-    full Faster R-CNN geometry) beats the current Pallas kernel (21ms —
-    program-count and VMEM-ceiling bound), so `auto` resolves to einsum.
-    The Pallas kernel stays available via impl='pallas'."""
-    return False
-
-
 def roi_align(
     features: jnp.ndarray,  # [H, W, C]
     rois: jnp.ndarray,  # [N, 4] xyxy in input-image coords
     spatial_scale: float,
     output_size: Tuple[int, int] = (7, 7),
     sampling_ratio: int = 2,
-    impl: str = "auto",  # auto | pallas | einsum
 ) -> jnp.ndarray:
-    """RoIAlign -> [N, oh, ow, C]."""
-    if impl == "pallas" or (impl == "auto" and _use_pallas()):
-        from hallucidet_tpu.ops.roi_align_pallas import roi_align_pallas
+    """RoIAlign -> [N, oh, ow, C].
 
-        return roi_align_pallas(
-            features, rois, spatial_scale, output_size, sampling_ratio
-        )
+    Implementation: separable pooling-folded interpolation as two MXU
+    einsums (exact). A Pallas kernel existed through round 2 but measured
+    3x slower than this path at full Faster R-CNN geometry (per-program
+    feature re-residency + Mosaic's low matmul throughput at [M,K<=512,
+    N=128] shapes — see PERF.md round-2 notes) and was removed; the git
+    history (hallucidet_tpu/ops/roi_align_pallas.py) keeps the kernel."""
     h, w, c = features.shape
     n = rois.shape[0]
     oh, ow = output_size
@@ -146,7 +138,6 @@ def multiscale_roi_align(
     sampling_ratio: int = 2,
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
-    impl: str = "auto",
 ) -> jnp.ndarray:
     """MultiScaleRoIAlign over FPN levels -> [N, oh, ow, C].
 
@@ -163,7 +154,7 @@ def multiscale_roi_align(
     out = None
     for i, (feat, stride) in enumerate(zip(features, strides)):
         pooled = roi_align(
-            feat, rois, 1.0 / float(stride), output_size, sampling_ratio, impl
+            feat, rois, 1.0 / float(stride), output_size, sampling_ratio
         )
         sel = (levels == i)[:, None, None, None]
         out = jnp.where(sel, pooled, out) if out is not None else pooled * sel

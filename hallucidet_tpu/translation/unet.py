@@ -52,6 +52,7 @@ class Unet(nn.Module):
         x: jnp.ndarray,  # NHWC, 3 channels
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
+        output_phase_form: bool = False,
     ):
         from hallucidet_tpu.nn.encoders import get_encoder
 
@@ -76,7 +77,7 @@ class Unet(nn.Module):
             head=self.head,
             s2d_input=s2d,
             name="segmentation_head",
-        )(decoded, train, dropout_rng)
+        )(decoded, train, dropout_rng, keep_phase_form=output_phase_form and s2d)
         if self.aux_classes is not None:
             labels = ClassificationHead(
                 classes=self.aux_classes, name="classification_head"

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+from hallucidet_tpu.interop import torch_loader
 from hallucidet_tpu.interop.torch_loader import (
     conv_kernel,
     convert_into_variables,
@@ -227,3 +228,64 @@ def test_detector_key_map_is_total():
         "backbone.fpn.inner_blocks.0.weight",
     }
     assert expected_keys <= set(sd.keys())
+
+
+# ---------------------------------------------------------------------------
+# negative paths (VERDICT weak #9): wrong checkpoints must fail loudly and
+# report precisely, not load garbage silently.
+# ---------------------------------------------------------------------------
+
+
+def test_convert_shape_mismatch_raises():
+    import flax.linen as fnn
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            return fnn.Conv(4, (3, 3), name="conv1")(x)
+
+    m = Tiny()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    # torch OIHW kernel with the WRONG in-channels (5 instead of 3)
+    bad_sd = {
+        "conv1.weight": np.zeros((4, 5, 3, 3), np.float32),
+        "conv1.bias": np.zeros((4,), np.float32),
+    }
+    with pytest.raises(ValueError, match="shape mismatch for conv1.weight"):
+        torch_loader.convert_into_variables(v, bad_sd)
+
+
+def test_convert_reports_missing_keys_and_keeps_init():
+    import flax.linen as fnn
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.Conv(4, (3, 3), name="conv1")(x)
+            return fnn.Conv(2, (1, 1), name="conv2")(x)
+
+    m = Tiny()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    sd = {
+        "conv1.weight": np.ones((4, 3, 3, 3), np.float32),
+        "conv1.bias": np.zeros((4,), np.float32),
+    }
+    new_v, loaded, missing = torch_loader.convert_into_variables(v, sd)
+    assert set(loaded) == {"conv1.weight", "conv1.bias"}
+    assert "conv2.weight" in missing and "conv2.bias" in missing
+    # strict=False: unmatched leaves keep their initialized values
+    np.testing.assert_array_equal(
+        new_v["params"]["conv2"]["kernel"], v["params"]["conv2"]["kernel"]
+    )
+    np.testing.assert_allclose(new_v["params"]["conv1"]["kernel"], 1.0)
+
+
+def test_load_detector_rejects_unrelated_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    # an adversarial state dict: right-looking prefixes, no matching keys
+    sd = {"detector.detector.banana.weight": torch.zeros(3),
+          "something.else": torch.ones(2)}
+    p = tmp_path / "junk.bin"
+    torch.save(sd, str(p))
+    with pytest.raises(ValueError, match="no detector weights matched"):
+        torch_loader.load_detector_variables(str(p), "fasterrcnn")

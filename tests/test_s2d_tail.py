@@ -112,3 +112,47 @@ def test_s2d_tail_disabled_with_attention():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
     y = m.apply(v, jnp.zeros((1, 64, 64, 3)), False)
     assert y.shape == (1, 64, 64, 3)
+
+
+def test_phase_form_output_through_detector():
+    """unet(output_phase_form=True) -> detector(phase_form=True) must equal
+    the standard full-resolution path exactly (the fused-pipeline fast path
+    that skips the depth-to-space)."""
+    from hallucidet_tpu.detection import (
+        FasterRCNN,
+        FasterRCNNConfig,
+        pad_targets,
+    )
+
+    m = Unet(encoder_name="resnet18", s2d_tail=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+
+    full = m.apply(v, x, False)
+    ph = m.apply(v, x, False, output_phase_form=True)
+    assert ph.shape == (1, 32, 32, 12)
+    np.testing.assert_allclose(depth_to_space2(ph), full, atol=1e-6)
+
+    cfg = FasterRCNNConfig(
+        num_classes=2, backbone="resnet18",
+        rpn_pre_nms_top_n_train=32, rpn_pre_nms_top_n_test=32,
+        rpn_post_nms_top_n_train=16, rpn_post_nms_top_n_test=16,
+        rpn_nms_candidate_cap=64, box_batch_size_per_image=8,
+        box_detections_per_img=5,
+    )
+    det = FasterRCNN(cfg, image_size=(32, 32))
+    dv = det.init(jax.random.PRNGKey(2))
+    t = pad_targets([np.array([[8, 8, 40, 48]], np.float32)], [[1]], 4)
+    rng = jax.random.PRNGKey(3)
+    losses_a, dets_a = det.forward(dv, full, t, train_det=False, rng=rng)
+    losses_b, dets_b = det.forward(
+        dv, ph, t, train_det=False, rng=rng, phase_form=True
+    )
+    for k in losses_a:
+        np.testing.assert_allclose(
+            float(losses_b[k]), float(losses_a[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(dets_b.boxes), np.asarray(dets_a.boxes), atol=1e-3
+    )
