@@ -37,7 +37,12 @@ def main():
     rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
     ir_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    ed_vars = unet.init(k1, ir_small, False)
+    # fast mode: the translation net runs in bf16 end-to-end (params +
+    # activations); the detector keeps f32 params and receives the 12-channel
+    # phase tensor cast back to f32 (box math stays f32 — PERF.md policy).
+    ed_vars = jax.tree_util.tree_map(
+        lambda t: t.astype(dtype), unet.init(k1, ir_small, False)
+    )
     det_vars = det.init(k2)
 
     # parity (default): the reference's eval path — also the faster one
@@ -50,10 +55,11 @@ def main():
     )
 
     def fused(ed_v, det_v, ir):
-        ir3 = expand_one_channel_to_three(ir)
+        ir3 = expand_one_channel_to_three(ir).astype(dtype)
         # the s2d decoder tail hands its phase form straight to the detector
         # resize — the full-resolution hallucinated image never materializes
         hall = unet.apply(ed_v, ir3, False, output_phase_form=True)
+        hall = hall.astype(jnp.float32)
         if mode == "parity":
             # the reference's eval path: loss graph + GT-augmented sampling
             _, dets = det.forward(

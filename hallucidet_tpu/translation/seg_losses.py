@@ -59,7 +59,9 @@ def focal_loss_with_logits(
     if reduced_threshold is None:
         focal_term = (1.0 - pt) ** gamma
     else:
-        focal_term = ((1.0 - pt) / (1 - reduced_threshold)) ** gamma
+        # reference divides by reduced_threshold itself
+        # (_functional.py:77) — matched exactly, not "fixed"
+        focal_term = ((1.0 - pt) / reduced_threshold) ** gamma
         focal_term = jnp.where(pt < reduced_threshold, 1.0, focal_term)
     loss = -focal_term * logpt
     if alpha is not None:

