@@ -110,11 +110,19 @@ class Detector:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
+        phase_form: bool = False,
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         """(losses, detections) — the reference's eval-mode loss forward
-        contract (reference: src/models/detector.py:105-118)."""
-        return self.impl.forward(variables, images, targets, train_det, rng)
+        contract (reference: src/models/detector.py:105-118). phase_form:
+        `images` is the U-Net s2d tail's [B,H/2,W/2,4C] output, consumed
+        directly by the transform resize."""
+        return self.impl.forward(
+            variables, images, targets, train_det, rng, phase_form=phase_form
+        )
 
-    def predict(self, variables, images: jnp.ndarray, rng=None):
+    def predict(self, variables, images: jnp.ndarray, rng=None,
+                phase_form: bool = False):
         """Serving-only detections (no targets, no loss graph)."""
+        if phase_form:
+            return self.impl.infer(variables, images, rng, phase_form=True)
         return self.impl.infer(variables, images, rng)

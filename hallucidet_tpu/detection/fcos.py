@@ -262,11 +262,15 @@ class FCOS:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
+        phase_form: bool = False,  # images = U-Net s2d tail output [B,H/2,W/2,4C]
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         del train_det, rng
         cfg = self.config
-        original_hw = images.shape[1:3]
-        images_t, targets_t = self.transform(images, targets)
+        if phase_form:
+            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+        else:
+            original_hw = images.shape[1:3]
+        images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
 
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg, ctrness = self.module.apply(
@@ -303,12 +307,16 @@ class FCOS:
         dets = self.transform.postprocess(dets, original_hw)
         return losses, dets
 
-    def infer(self, variables, images: jnp.ndarray, rng=None) -> Detections:
+    def infer(self, variables, images: jnp.ndarray, rng=None,
+              phase_form: bool = False) -> Detections:
         """Serving path: detections only."""
         del rng
         cfg = self.config
-        original_hw = images.shape[1:3]
-        images_t, _ = self.transform(images, None)
+        if phase_form:
+            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+        else:
+            original_hw = images.shape[1:3]
+        images_t, _ = self.transform(images, None, phase_form=phase_form)
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg, ctrness = self.module.apply(
             variables, feats, method="head"

@@ -83,3 +83,28 @@ def test_fcos_empty_targets():
     losses, _ = det.forward(v, images, targets)
     for k, val in losses.items():
         assert np.isfinite(float(val)), k
+
+
+def test_phase_form_transform_equality_retinanet_fcos():
+    """phase_form=True through the detector wrapper matches the
+    full-resolution path for the anchor-free detectors too."""
+    import numpy as np
+    from hallucidet_tpu.ops.fused_upsample import space_to_depth2
+
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ph = space_to_depth2(img)
+    t = pad_targets([np.array([[8, 8, 40, 48]], np.float32)], [[1]], 4)
+    for det in (
+        RetinaNet(RN_SMALL, image_size=(32, 32)),
+        FCOS(FCOS_SMALL, image_size=(32, 32)),
+    ):
+        v = det.init(jax.random.PRNGKey(1))
+        la, da = det.forward(v, img, t)
+        lb, db = det.forward(v, ph, t, phase_form=True)
+        for k in la:
+            np.testing.assert_allclose(
+                float(lb[k]), float(la[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            )
+        np.testing.assert_allclose(
+            np.asarray(db.boxes), np.asarray(da.boxes), atol=1e-3
+        )
