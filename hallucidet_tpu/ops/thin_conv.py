@@ -1,17 +1,18 @@
 """Pallas thin-channel 3x3 conv — the U-Net decoder tail's hot op.
 
-XLA's conv for C_in/C_out << 128 at megapixel resolution runs at ~10% of the
-MXU (PERF.md #1: N=O lanes mostly idle; im2col K=9C caps at ~10.5%). This
-kernel packs Gx = 128/O ADJACENT OUTPUT COLUMNS into the lane dimension so
-every matmul drives all 128 lanes:
+Packs Gx = 128/O ADJACENT OUTPUT COLUMNS into the lane dimension so every
+matmul drives all 128 lanes:
 
   out[y, g*Gx + jo, o]  =  sum_dy  U_dy[y, g, :] @ rhs_dy[:, jo*O + o]
 
 where U_dy[y, g, (jc, c)] = x[y + dy - 1, g*Gx + jc - 1, c] for jc in
 0..Gx+1 (the group's Gx columns plus a 1-column halo each side, K=(Gx+2)C),
 and rhs_dy is the banded kernel matrix rhs[(jc,c),(jo,o)] = w[dy, jc-jo, c, o]
-for jc-jo in {0,1,2}. Effective MXU utilization = 3/(Gx+2): 30% at O=16,
-50% at O=32, 75% at O=64 — vs ~8-12% for any XLA formulation of these shapes.
+for jc-jo in {0,1,2}. Nominal MXU utilization = 3/(Gx+2): 30% at O=16, 50%
+at O=32, 75% at O=64. MEASURED on v5e, Mosaic's matmul pipeline at these
+[M, K<=512, N=128] shapes caps at ~21 GF/ms, so the kernel LOSES to both
+XLA's conv and the s2d phase-form rewrite (PERF.md round-2 notes) — it is a
+standalone op, not the decoder's production path.
 
 The unfold U is built IN VMEM by the DMA engine (bulk groups + two halo-column
 copies per row block; input is read ~(Gx+2)/Gx = 1.25x, once), never
@@ -177,7 +178,7 @@ def _thin_conv_fwd_impl(x, w, bias, block_h, interpret):
         kern,
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x4 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x4 stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rhs
         ],
         out_specs=pl.BlockSpec(
