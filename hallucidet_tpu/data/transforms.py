@@ -291,17 +291,33 @@ class RandomCrop:
 
 
 class Resize:
-    """alb.Resize(height, width): nearest-neighbor (deterministic, matching
-    the repo's deterministic-upsampling stance); boxes scaled."""
+    """alb.Resize(height, width): bilinear with OpenCV's half-pixel-centered
+    convention (albumentations' cv2.INTER_LINEAR default); boxes scaled."""
 
     def __init__(self, height: int, width: int):
         self.height, self.width = height, width
 
     def _resize(self, im):
         h, w = im.shape[:2]
-        ys = (np.arange(self.height) * h // self.height).clip(0, h - 1)
-        xs = (np.arange(self.width) * w // self.width).clip(0, w - 1)
-        return im[ys][:, xs].copy()
+        out_dtype = im.dtype
+        ys = (np.arange(self.height) + 0.5) * (h / self.height) - 0.5
+        xs = (np.arange(self.width) + 0.5) * (w / self.width) - 0.5
+        y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+        if im.ndim == 3:
+            wy, wx = wy[..., None], wx[..., None]
+        imf = im.astype(np.float32)
+        top = imf[y0][:, x0] * (1 - wx) + imf[y0][:, x1] * wx
+        bot = imf[y1][:, x0] * (1 - wx) + imf[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        if np.issubdtype(out_dtype, np.integer):
+            out = np.rint(out).clip(np.iinfo(out_dtype).min,
+                                    np.iinfo(out_dtype).max)
+        return out.astype(out_dtype)
 
     def __call__(self, sample, rng):
         img_rgb, b_rgb, l_rgb, img_ir, b_ir, l_ir = sample

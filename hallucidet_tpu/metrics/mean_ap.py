@@ -136,7 +136,9 @@ class MeanAveragePrecision:
             # sequential) loop over score-ordered detections remains.
             # pycocotools semantics: a det claims the unmatched gt with the
             # highest IoU >= thr, preferring non-ignored gt regardless of
-            # IoU; first gt wins ties (argmax picks the first maximum).
+            # IoU; the LAST equal-IoU gt wins ties (pycocotools' loop uses
+            # 'ious < best: continue' then overwrites), so argmax runs over
+            # the reversed gt axis.
             thr = np.minimum(IOU_THRESHOLDS, 1 - 1e-10)[:, None]  # [T,1]
             t_idx = np.arange(T)
             for di in range(D):
@@ -146,7 +148,7 @@ class MeanAveragePrecision:
                 use_non = cand_non.any(axis=1)                  # [T]
                 cand_eff = np.where(use_non[:, None], cand_non, cand)
                 masked = np.where(cand_eff, iou_d, -1.0)
-                best = masked.argmax(axis=1)                    # [T]
+                best = G - 1 - masked[:, ::-1].argmax(axis=1)   # [T]
                 found = masked[t_idx, best] >= 0
                 sel = t_idx[found]
                 bg = best[found]

@@ -21,11 +21,8 @@ import jax
 from hallucidet_tpu.nn.layers import Attention, BatchNorm, ConvBnReLU
 from hallucidet_tpu.ops.fused_upsample import (
     s2d_conv_kernel,
-    s2d_conv_kernel_2tap,
     up_phase_conv_kernel,
-    up_phase_conv_kernel_2tap,
     upsample2_concat_conv3x3,
-    zero_shifted_borders,
 )
 from hallucidet_tpu.ops.image_ops import upsample_nearest
 
@@ -107,9 +104,6 @@ class _S2DConvBnReLU(nn.Module):
     use_batchnorm: bool = True
     # 's2d':  x is aligned phase form [B,h,w,4Cin]
     # 'up':   x is coarse [B,h,w,Cin] -> aligned phase out
-    # 'up2':  x is coarse -> SHIFTED phase out [B,h+1,w+1,4O] (2-tap,
-    #         zero-redundancy; ops/fused_upsample.py)
-    # 's2d2': x is shifted phase form -> aligned out (2-tap, 1.78x)
     mode: str = "s2d"
 
     @nn.compact
@@ -122,8 +116,6 @@ class _S2DConvBnReLU(nn.Module):
         transforms = {
             "up": (up_phase_conv_kernel, ((1, 1), (1, 1))),
             "s2d": (s2d_conv_kernel, ((1, 1), (1, 1))),
-            "up2": (up_phase_conv_kernel_2tap, ((1, 1), (1, 1))),
-            "s2d2": (s2d_conv_kernel_2tap, ((0, 0), (0, 0))),
         }
         tf, pad = transforms[self.mode]
         kt = tf(kernel)
@@ -147,28 +139,16 @@ class S2DTailBlock(nn.Module):
 
     out_channels: int
     use_batchnorm: bool = True
-    # 2-tap shifted-anchor internals (ops/fused_upsample.py): conv1 at the
-    # phase-conv FLOP minimum, conv2 at 1.78x instead of 4x. Exact and
-    # tested, but measured ~7% SLOWER than the aligned 3x3 phase form on
-    # v5e (the odd [H/2+1, W/2+1] spatial dims cost more in layout/padding
-    # than the saved MACs) — off by default; eval-only when enabled
-    # (train-mode BN stats would see the shifted boundary slots). Output
-    # stays ALIGNED phase form either way.
-    two_tap: bool = False
 
     @nn.compact
     def __call__(self, x_coarse, train: bool = False):
-        fast = self.two_tap and not train
         y = _S2DConvBnReLU(
             self.out_channels, x_coarse.shape[-1], self.use_batchnorm,
-            mode="up2" if fast else "up", name="conv1",
+            mode="up", name="conv1",
         )(x_coarse, train)
-        if fast:
-            # the next SAME conv must see zeros at full-res rows/cols -1, H
-            y = zero_shifted_borders(y)
         y = _S2DConvBnReLU(
             self.out_channels, self.out_channels, self.use_batchnorm,
-            mode="s2d2" if fast else "s2d", name="conv2",
+            mode="s2d", name="conv2",
         )(y, train)
         return y
 

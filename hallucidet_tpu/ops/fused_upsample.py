@@ -202,85 +202,8 @@ def s2d_stride2_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)  # [4,4,4c,o]
 
 
-# ---------------------------------------------------------------------------
-# 2-tap shifted-anchor phase convs — the zero/low-redundancy refinement of
-# the s2d tail. A "shifted" phase grid anchors groups at rows (2i-1, 2i),
-# i in 0..H/2 (H/2+1 groups; the -1 and H rows are zero padding). Aligned ->
-# shifted and shifted -> aligned 3x3 convs are both exactly representable
-# with [2,2] phase kernels:
-#   conv1-up (coarse, aligned -> shifted): kernel [2,2,C,4O], input padded
-#     ((1,1),(1,1)), NO redundancy (the phase-conv minimum, 4*C*O*H*W MACs);
-#   conv2 (shifted -> aligned): kernel [2,2,4C,4O], VALID, 1.78x (vs the
-#     3x3 aligned form's 4x).
-# Derivation: output row 2i+py reads rows 2i+py+dy-1; in shifted coords the
-# row 2j-1+ry' gives dy = 2*(j-i) + ry' - py, nonzero only for j-i in {0,1}.
-# ---------------------------------------------------------------------------
-
-
-def up_phase_conv_kernel_2tap(k: jnp.ndarray) -> jnp.ndarray:
-    """[3,3,C,O] -> [2,2,C,4O]: conv3x3(up2(x)) on the SHIFTED output grid.
-    Apply as a VALID conv over x padded by 1 on every side; output
-    [h+1, w+1, 4O] holds full-res rows/cols -1..H (phase (py',px'),
-    group rows (2i-1+py'))."""
-    c, o = k.shape[2], k.shape[3]
-    # row selection per (Dy, py'): which full-res taps dy sum into this slot
-    sel = {(0, 0): (0, 1), (0, 1): (0,), (1, 0): (2,), (1, 1): (1, 2)}
-    rows = []
-    for Dy in range(2):
-        cols = []
-        for Dx in range(2):
-            phases = []
-            for py in range(2):
-                for px in range(2):
-                    acc = jnp.zeros((c, o), k.dtype)
-                    for dy in sel[(Dy, py)]:
-                        for dx in sel[(Dx, px)]:
-                            acc = acc + k[dy, dx]
-                    phases.append(acc)
-            cols.append(jnp.concatenate(phases, axis=-1))
-        rows.append(jnp.stack(cols, axis=0))
-    return jnp.stack(rows, axis=0)  # [2,2,C,4O]
-
-
-def s2d_conv_kernel_2tap(k: jnp.ndarray) -> jnp.ndarray:
-    """[3,3,C,O] -> [2,2,4C,4O]: conv3x3 from the SHIFTED phase grid to the
-    ALIGNED one. Apply as a VALID conv on the [h/2+1, w/2+1, 4C] shifted
-    tensor -> [h/2, w/2, 4O]. Tap rule: dy = 2*Dy + ry' - py (0..2 valid)."""
-    import numpy as np
-
-    c, o = k.shape[2], k.shape[3]
-    rows = []
-    for Dy in range(2):
-        cols = []
-        for Dx in range(2):
-            # in-channel blocks (ry', rx', c); out (py, px, o)
-            rblk = []
-            for ry in range(2):
-                for rx in range(2):
-                    phases = []
-                    for py in range(2):
-                        for px in range(2):
-                            dy = 2 * Dy + ry - py
-                            dx = 2 * Dx + rx - px
-                            if 0 <= dy <= 2 and 0 <= dx <= 2:
-                                phases.append(k[dy, dx])
-                            else:
-                                phases.append(jnp.zeros((c, o), k.dtype))
-                    rblk.append(jnp.concatenate(phases, axis=-1))  # [c, 4o]
-            cols.append(jnp.concatenate(rblk, axis=0))  # [4c, 4o]
-        rows.append(jnp.stack(cols, axis=0))
-    return jnp.stack(rows, axis=0)  # [2,2,4C,4O]
-
-
-def zero_shifted_borders(sh: jnp.ndarray) -> jnp.ndarray:
-    """Zero the phase slots of a SHIFTED tensor that correspond to full-res
-    rows/cols -1 and H/W — the next (SAME-padded) conv must see zeros there,
-    not the previous conv's extrapolation."""
-    b, hp, wp, c4 = sh.shape
-    o = c4 // 4
-    x6 = sh.reshape(b, hp, wp, 2, 2, o)
-    x6 = x6.at[:, 0, :, 0].set(0.0)     # row -1  (py'=0 of group 0)
-    x6 = x6.at[:, hp - 1, :, 1].set(0.0)  # row H  (py'=1 of last group)
-    x6 = x6.at[:, :, 0, :, 0].set(0.0)  # col -1
-    x6 = x6.at[:, :, wp - 1, :, 1].set(0.0)  # col W
-    return x6.reshape(b, hp, wp, c4)
+# The 2-tap shifted-anchor phase-conv variants (zero-redundancy conv1,
+# 1.78x conv2) were built, exactness-tested, and measured ~7% SLOWER than
+# the aligned 3x3 phase form on v5e (odd spatial dims cost more in layout
+# than the saved MACs) — removed; post-mortem in PERF.md "Examined and
+# closed".

@@ -115,8 +115,18 @@ class Trainer:
     def fit_hallucidet(self, module, dm) -> Dict:
         train_step = jax.jit(module.make_train_step(), donate_argnums=0)
         eval_step = jax.jit(module.make_eval_step(with_baselines=True))
+        # train_det=True: the step optimizes the combined {ed, det} tree
+        # (reference unfreeze, train_hallucidet.py:429-435); the opt_state in
+        # module.__init__ is already built over that tree.
+        if module.cfg.train_det:
+            params0 = {
+                "ed": module.ed_variables["params"],
+                "det": module.det_variables["params"],
+            }
+        else:
+            params0 = module.ed_variables["params"]
         state = (
-            module.ed_variables["params"],
+            params0,
             module.ed_variables.get("batch_stats", {}),
             module.opt_state,
         )
@@ -164,7 +174,14 @@ class Trainer:
             self._log(history)
 
             if self.ckpt is not None:
-                full_state = {"params": state[0], "batch_stats": state[1]}
+                if module.cfg.train_det:
+                    full_state = {
+                        "params": state[0]["ed"],
+                        "batch_stats": state[1],
+                        "det_params": state[0]["det"],
+                    }
+                else:
+                    full_state = {"params": state[0], "batch_stats": state[1]}
                 self.ckpt.maybe_save_best(
                     full_state, maps_hall["map_50"], epoch
                 )
@@ -176,15 +193,24 @@ class Trainer:
             ):
                 break
 
-        module.ed_variables = {"params": state[0], "batch_stats": state[1]}
+        if module.cfg.train_det:
+            module.ed_variables = {"params": state[0]["ed"], "batch_stats": state[1]}
+            module.det_variables = dict(
+                module.det_variables, params=state[0]["det"]
+            )
+        else:
+            module.ed_variables = {"params": state[0], "batch_stats": state[1]}
         module.opt_state = state[2]
         return history
 
     def test_hallucidet(self, module, dm, state=None) -> Dict:
         eval_step = jax.jit(module.make_eval_step(with_baselines=True))
         if state is None:
+            params0 = module.ed_variables["params"]
+            if module.cfg.train_det:
+                params0 = {"ed": params0, "det": module.det_variables["params"]}
             state = (
-                module.ed_variables["params"],
+                params0,
                 module.ed_variables.get("batch_stats", {}),
             )
         map_hall, map_rgb, map_ir = (

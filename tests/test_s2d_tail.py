@@ -158,31 +158,3 @@ def test_phase_form_output_through_detector():
     )
 
 
-def test_two_tap_tail_eval_exact():
-    """The 2-tap shifted-anchor tail variant (off by default — measured
-    slower on v5e, see unet_decoder.py) must stay numerically exact."""
-    from hallucidet_tpu.nn.unet_decoder import UnetDecoder
-
-    enc_chs = (3, 64, 64, 128, 256, 512)
-    feats = [jax.random.uniform(jax.random.PRNGKey(i),
-                                (1, 64 >> max(i - 1, 0) if i else 64,
-                                 64 >> max(i - 1, 0) if i else 64, c))
-             for i, c in enumerate(enc_chs)]
-    # proper pyramid: strides 1,2,4,8,16,32
-    feats = [jax.random.uniform(jax.random.PRNGKey(i),
-                                (1, 64 >> s, 64 >> s, c))
-             for i, (s, c) in enumerate(zip((0, 1, 2, 3, 4, 5), enc_chs))]
-    d_std = UnetDecoder(s2d_tail=True)
-    d_2t = UnetDecoder(s2d_tail=True)
-    v = d_std.init(jax.random.PRNGKey(0), feats, False)
-    y_std = d_std.apply(v, feats, False)
-    # two_tap toggles per-module; rebuild with the flag through S2DTailBlock
-    import hallucidet_tpu.nn.unet_decoder as ud
-    orig = ud.S2DTailBlock
-    try:
-        import functools
-        ud.S2DTailBlock = functools.partial(orig, two_tap=True)
-        y_2t = d_2t.apply(v, feats, False)
-    finally:
-        ud.S2DTailBlock = orig
-    np.testing.assert_allclose(np.asarray(y_2t), np.asarray(y_std), atol=2e-5)
