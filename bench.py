@@ -1,13 +1,19 @@
 #!/usr/bin/env python
 """Headline benchmark: fused IR->RGB + detect throughput on LLVIP-native
-frames (1024x1280), one chip.
+frames (1024x1280), one chip — measured through the PRODUCT pipeline.
 
-The whole pipeline — IR 1ch->3ch expand, U-Net(resnet34) hallucination at
-native resolution, on-device resize to the 300x300 detector frame, Faster
-R-CNN R50-FPN forward, NMS postprocess — compiles as ONE XLA program
-(BASELINE.md north star). The reference publishes no speed numbers
-(SURVEY.md §6), so `vs_baseline` reports measured / analytic-speed-of-light
-for the dominant convolution FLOPs on this chip.
+This drives `HalluciDetModule.make_eval_step` — the exact jitted step the
+train/eval CLIs run (reference semantics: train_hallucidet.py:161-240) — not
+a bench-only graph: IR 1ch->3ch expand, U-Net(resnet34) hallucination at
+native resolution with the s2d phase-form tail handed straight to the
+detector transform, Faster R-CNN R50-FPN loss forward + NMS postprocess, as
+ONE XLA program. The reference publishes no speed numbers (SURVEY.md §6), so
+`vs_baseline` reports measured / analytic-speed-of-light for the dominant
+convolution FLOPs on this chip.
+
+Measurement protocol (PERF.md): inter-iteration variation comes from folding
+the iteration index into the step's rng key (a 2-word operand) — never from
+perturbing the megapixel input; sync is a host fetch of the final scalar.
 
 Prints exactly one JSON line.
 """
@@ -16,91 +22,86 @@ import json
 import os
 import time
 
-import numpy as np
-
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from hallucidet_tpu.detection import FasterRCNN, FasterRCNNConfig, pad_targets
-    from hallucidet_tpu.ops.image_ops import expand_one_channel_to_three
-    from hallucidet_tpu.translation import create_model
+    from hallucidet_tpu.detection import pad_targets
+    from hallucidet_tpu.train import HalluciDetModule, HalluciDetTrainConfig
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     hw = (1024, 1280)  # native LLVIP frame
-    dtype = jnp.bfloat16
 
-    unet = create_model("unet", encoder_name="resnet34", classes=3)
-    det = FasterRCNN(FasterRCNNConfig(num_classes=2), image_size=(300, 300))
-
-    rng = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(rng)
-    ir_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    # fast mode: the translation net runs in bf16 end-to-end (params +
-    # activations); the detector keeps f32 params and receives the 12-channel
-    # phase tensor cast back to f32 (box math stays f32 — PERF.md policy).
-    ed_vars = jax.tree_util.tree_map(
-        lambda t: t.astype(dtype), unet.init(k1, ir_small, False)
+    # --precision 16: bf16 translation net (the fast product config);
+    # detector box math stays f32 (PERF.md policy).
+    cfg = HalluciDetTrainConfig(
+        detector="fasterrcnn", decoder_backbone="resnet34", input_size=300,
+        precision=16, remat=False,
     )
-    det_vars = det.init(k2)
+    module = HalluciDetModule(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64))
+    assert module.use_phase_handoff, "product phase handoff must be active"
 
-    # parity (default): the reference's eval path — also the faster one
-    # (512 sampled RoIs vs serving's 1000 post-NMS proposals).
+    # mode=serving swaps the loss-bearing parity forward for the
+    # detections-only serving path (detection/faster_rcnn.infer)
     mode = os.environ.get("BENCH_MODE", "parity")  # parity | serving
+    if mode == "serving":
+        det = module.detector
+        variables = module.det_variables
+
+        def step(state, batch_, rng):
+            ed_params, ed_bs = state
+            _, _, ir, _ = batch_
+            from hallucidet_tpu.ops.image_ops import expand_one_channel_to_three
+
+            ir3 = expand_one_channel_to_three(ir).astype(jnp.bfloat16)
+            ed_vars = jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.bfloat16),
+                {"params": ed_params, "batch_stats": ed_bs},
+            )
+            hall = module.encoder_decoder.apply(
+                ed_vars, ir3, False, output_phase_form=True
+            ).astype(jnp.float32)
+            dets = det.predict(variables, hall, phase_form=True)
+            return jnp.sum(dets.scores), None, (dets, None, None), None
+        eval_step = jax.jit(step)
+    else:
+        eval_step = jax.jit(
+            module.make_eval_step(with_baselines=False, with_hallucinated=False)
+        )
+
+    state = (
+        module.ed_variables["params"],
+        module.ed_variables.get("batch_stats", {}),
+    )
+    ir = jax.random.uniform(jax.random.PRNGKey(3), (batch, *hw, 1), jnp.float32)
+    rgb = jnp.zeros((batch, *hw, 3), jnp.float32)  # unused (no baselines)
     targets = pad_targets(
         [np.array([[100, 100, 300, 400]], np.float32)] * batch,
         [np.array([1])] * batch,
         capacity=8,
     )
-
-    def fused(ed_v, det_v, ir):
-        ir3 = expand_one_channel_to_three(ir).astype(dtype)
-        # the s2d decoder tail hands its phase form straight to the detector
-        # resize — the full-resolution hallucinated image never materializes
-        hall = unet.apply(ed_v, ir3, False, output_phase_form=True)
-        hall = hall.astype(jnp.float32)
-        if mode == "parity":
-            # the reference's eval path: loss graph + GT-augmented sampling
-            _, dets = det.forward(
-                det_v, hall, targets, train_det=False,
-                rng=jax.random.PRNGKey(1), phase_form=True,
-            )
-        else:
-            # production serving: detections only (detection/faster_rcnn.infer)
-            dets = det.infer(det_v, hall, phase_form=True)
-        return dets.boxes, dets.scores, dets.valid
-
-    fused_jit = jax.jit(fused)
-
-    ir = jax.random.uniform(
-        jax.random.PRNGKey(3), (batch, *hw, 1), jnp.float32
-    )
+    data = (rgb, targets, ir, targets)
+    base_rng = jax.random.PRNGKey(1)
 
     # warmup / compile
-    out = fused_jit(ed_vars, det_vars, ir)
-    jax.block_until_ready(out)
-
-    # Chain a data dependency between iterations: the runtime memoizes
-    # bit-identical dispatches, so same-input loops measure nothing.
-    def chained(ed_v, det_v, ir, salt):
-        boxes, scores, valid = fused(ed_v, det_v, ir + salt * 1e-6)
-        return boxes, scores, valid, jnp.sum(scores) * 1e-9
-
-    chained_jit = jax.jit(chained)
-    salt = jnp.float32(0.0)
-    out = chained_jit(ed_vars, det_vars, ir, salt)
-    jax.block_until_ready(out)
-
+    out = eval_step(state, data, base_rng)
+    total0 = out[0]
     # NOTE: on the axon relay block_until_ready is a no-op; a host fetch is
     # the only real synchronization point.
-    float(out[-1] if isinstance(out, tuple) else out[0].sum())
+    float(jnp.sum(total0))
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        *dets, salt = chained_jit(ed_vars, det_vars, ir, salt)
-    _ = float(salt)  # host fetch = device sync
+    last = None
+    for i in range(iters):
+        # per-iteration rng (tiny operand) defeats the relay's
+        # identical-dispatch memoization without copying the input
+        rng = jax.random.fold_in(base_rng, i + 1)
+        out = eval_step(state, data, rng)
+        last = out[0]
+    _ = float(jnp.sum(last))  # host fetch = device sync
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * iters / dt
 
@@ -120,8 +121,8 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
                 "batch": batch,
-                "dtype": str(dtype.dtype if hasattr(dtype, "dtype") else dtype),
-                "note": "reference publishes no throughput; vs_baseline = fraction of analytic conv-FLOP speed-of-light on this chip",
+                "dtype": "bfloat16",
+                "note": "measured through HalluciDetModule.make_eval_step (the product pipeline); reference publishes no throughput; vs_baseline = fraction of analytic conv-FLOP speed-of-light on this chip",
             }
         )
     )

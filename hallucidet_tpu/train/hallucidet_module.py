@@ -52,6 +52,11 @@ class HalluciDetTrainConfig:
     precision: int = 32
     # per-block activation remat: needed to fit megapixel training batches
     remat: bool = True
+    # hand the U-Net's s2d decoder tail to the detector resize in phase form
+    # (exact; ops/fused_upsample.py) — the full-resolution hallucinated image
+    # never materializes in HBM. Auto-disabled whenever a reconstruction loss
+    # needs the full-res image or the model/head can't produce phase output.
+    phase_handoff: bool = True
 
 
 DEFAULT_WEIGHTS = {
@@ -94,6 +99,29 @@ class HalluciDetModule:
         self.loss_pixel = Reconstruction.select_loss_pixel(cfg.pixel)
         self.loss_perceptual = Reconstruction.select_loss_perceptual(cfg.perceptual)
 
+        # Phase handoff is valid when (a) the model computes its tail in s2d
+        # phase form with an elementwise head (phase output == D2S'd output
+        # exactly), and (b) nothing downstream needs the full-res image —
+        # i.e. no active reconstruction loss (the default recipe: det-loss
+        # only, train_hallucidet.py weights pixel/perceptual = 0).
+        w = self.weights
+        recon_active = (
+            self.loss_pixel is not None
+            and (w["pixel_rgb"] != 0.0 or w["pixel_ir"] != 0.0)
+        ) or (
+            self.loss_perceptual is not None
+            and (w["perceptual_rgb"] != 0.0 or w["perceptual_ir"] != 0.0)
+        )
+        model = self.encoder_decoder
+        phase_capable = (
+            bool(getattr(model, "s2d_tail", False))
+            and getattr(model, "decoder_attention_type", None) is None
+            and getattr(model, "head", None) in ("sigmoid", "identity", "tanh")
+        )
+        self.use_phase_handoff = (
+            cfg.phase_handoff and phase_capable and not recon_active
+        )
+
         self.tx = optim_lib.build_optimizer(
             cfg.optimizer, cfg.lr, gradient_clip_val=cfg.gradient_clip_val
         )
@@ -122,6 +150,7 @@ class HalluciDetModule:
         rng: jax.Array,
         train: bool,
         with_baseline_detections: bool,
+        want_hallucinated: bool = True,
     ):
         w = self.weights
         ir3 = expand_one_channel_to_three(imgs_ir)
@@ -134,9 +163,15 @@ class HalluciDetModule:
                 lambda t: t.astype(jnp.bfloat16), ed_vars
             )
         unet_in = ir3.astype(compute_dtype)
+        # the benched product path: the s2d decoder tail hands its phase-form
+        # output straight to the detector transform's resize — the full-res
+        # hallucinated image never materializes (exact; tests/test_s2d_tail.py
+        # and tests/test_phase_handoff.py)
+        phase = self.use_phase_handoff
+        apply_kw = {"output_phase_form": True} if phase else {}
         if train:
             hallucinated, upd = self.encoder_decoder.apply(
-                ed_vars, unet_in, True, mutable=["batch_stats"]
+                ed_vars, unet_in, True, mutable=["batch_stats"], **apply_kw
             )
             new_bs = upd["batch_stats"]
             if half:  # keep the persistent stats in f32
@@ -144,20 +179,23 @@ class HalluciDetModule:
                     lambda t: t.astype(jnp.float32), new_bs
                 )
         else:
-            hallucinated = self.encoder_decoder.apply(ed_vars, unet_in, False)
+            hallucinated = self.encoder_decoder.apply(
+                ed_vars, unet_in, False, **apply_kw
+            )
             new_bs = ed_batch_stats
         hallucinated = hallucinated.astype(jnp.float32)
 
         loss_pixel_rgb = loss_pixel_ir = 0.0
         loss_perc_rgb = loss_perc_ir = 0.0
-        if self.loss_pixel is not None:
-            loss_pixel_rgb = self.loss_pixel(imgs_rgb, hallucinated) * w["pixel_rgb"]
-            loss_pixel_ir = self.loss_pixel(ir3, hallucinated) * w["pixel_ir"]
-        if self.loss_perceptual is not None:
-            loss_perc_rgb = (
-                self.loss_perceptual(imgs_rgb, hallucinated) * w["perceptual_rgb"]
-            )
-            loss_perc_ir = self.loss_perceptual(ir3, hallucinated) * w["perceptual_ir"]
+        if not phase:
+            if self.loss_pixel is not None:
+                loss_pixel_rgb = self.loss_pixel(imgs_rgb, hallucinated) * w["pixel_rgb"]
+                loss_pixel_ir = self.loss_pixel(ir3, hallucinated) * w["pixel_ir"]
+            if self.loss_perceptual is not None:
+                loss_perc_rgb = (
+                    self.loss_perceptual(imgs_rgb, hallucinated) * w["perceptual_rgb"]
+                )
+                loss_perc_ir = self.loss_perceptual(ir3, hallucinated) * w["perceptual_ir"]
 
         # frozen detector (default): gradients flow through activations, not
         # params. With cfg.train_det the detector params stay differentiable
@@ -167,7 +205,7 @@ class HalluciDetModule:
         det_frozen = det_params if unfreeze else jax.lax.stop_gradient(det_params)
         losses_det, det_hall = self.detector.calculate_loss(
             {"params": det_frozen}, hallucinated, targets_ir,
-            train_det=unfreeze and train, rng=rng,
+            train_det=unfreeze and train, rng=rng, phase_form=phase,
         )
 
         name = self.detector.name
@@ -223,7 +261,17 @@ class HalluciDetModule:
             "det_bbox_ctrness": out["bbox_ctrness"],
             "det_total": loss_det_total,
         }
-        return total, new_bs, logs, (det_hall, det_rgb, det_ir), hallucinated
+        if not want_hallucinated:
+            hall_out = None
+        elif phase:
+            # interleave the phase tensor back to the full-res image only
+            # when a consumer (plotting, recon tests) asks for it
+            from hallucidet_tpu.ops.fused_upsample import depth_to_space2
+
+            hall_out = depth_to_space2(hallucinated)
+        else:
+            hall_out = hallucinated
+        return total, new_bs, logs, (det_hall, det_rgb, det_ir), hall_out
 
     # ---- steps ----
 
@@ -243,6 +291,7 @@ class HalluciDetModule:
                         p["ed"], ed_bs, p["det"],
                         imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
                         train=True, with_baseline_detections=False,
+                        want_hallucinated=False,
                     )
                     return total, (new_bs, logs)
 
@@ -264,6 +313,7 @@ class HalluciDetModule:
                     p, ed_bs, self.det_variables["params"],
                     imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
                     train=True, with_baseline_detections=False,
+                    want_hallucinated=False,
                 )
                 return total, (new_bs, logs)
 
@@ -276,14 +326,26 @@ class HalluciDetModule:
 
         return step
 
-    def make_eval_step(self, with_baselines: bool = True) -> Callable:
+    def make_eval_step(
+        self, with_baselines: bool = True, with_hallucinated: bool = False
+    ) -> Callable:
+        # With cfg.train_det, state[0] is the combined {"ed","det"} tree the
+        # train step produces — eval must see the UPDATED detector params,
+        # not the frozen self.det_variables (advisor r2, trainer.py:118).
         def step(state, batch, rng):
-            ed_params, ed_bs = state[0], state[1]
+            if self.cfg.train_det:
+                ed_params = state[0]["ed"]
+                det_params = state[0]["det"]
+            else:
+                ed_params = state[0]
+                det_params = self.det_variables["params"]
+            ed_bs = state[1]
             imgs_rgb, t_rgb, imgs_ir, t_ir = batch
             total, _, logs, dets, hall = self.forward_step(
-                ed_params, ed_bs, self.det_variables["params"],
+                ed_params, ed_bs, det_params,
                 imgs_rgb, t_rgb, imgs_ir, t_ir, rng,
                 train=False, with_baseline_detections=with_baselines,
+                want_hallucinated=with_hallucinated,
             )
             return total, logs, dets, hall
 
