@@ -443,12 +443,17 @@ ENCODER_REGISTRY = {
         ),
         (3, 64, 256, 512, 1024, 2048), False,
     ),
-    "resnext101_32x8d": (
-        lambda output_stride=32: ResNet(
-            arch="resnext101_32x8d", output_stride=output_stride
-        ),
-        (3, 64, 256, 512, 1024, 2048), False,
-    ),
+    # resnext101 group widths incl. Instagram-WSL 16d/32d/48d (reference:
+    # encoders/resnet.py:183-230)
+    **{
+        name: ((lambda n: (lambda output_stride=32: ResNet(
+            arch=n, output_stride=output_stride)))(name),
+            (3, 64, 256, 512, 1024, 2048), False)
+        for name in (
+            "resnext101_32x4d", "resnext101_32x8d", "resnext101_32x16d",
+            "resnext101_32x32d", "resnext101_32x48d",
+        )
+    },
     **{
         name: ((lambda n, bn: (lambda output_stride=32: VGGEncoder(
             cfg_name=n, batch_norm=bn, output_stride=output_stride)))(

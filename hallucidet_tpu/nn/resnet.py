@@ -109,7 +109,13 @@ RESNET_SPECS = {
     "resnet101": (Bottleneck, (3, 4, 23, 3), 4, 1, 64),
     "resnet152": (Bottleneck, (3, 8, 36, 3), 4, 1, 64),
     "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 4, 32, 4),
+    # resnext101 group-width family incl. the Instagram-WSL variants
+    # (reference: src/segmentation_models/encoders/resnet.py:183-230)
+    "resnext101_32x4d": (Bottleneck, (3, 4, 23, 3), 4, 32, 4),
     "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 4, 32, 8),
+    "resnext101_32x16d": (Bottleneck, (3, 4, 23, 3), 4, 32, 16),
+    "resnext101_32x32d": (Bottleneck, (3, 4, 23, 3), 4, 32, 32),
+    "resnext101_32x48d": (Bottleneck, (3, 4, 23, 3), 4, 32, 48),
 }
 
 # smp encoder out_channels, index 0 = the input itself.
@@ -120,7 +126,11 @@ ENCODER_OUT_CHANNELS = {
     "resnet101": (3, 64, 256, 512, 1024, 2048),
     "resnet152": (3, 64, 256, 512, 1024, 2048),
     "resnext50_32x4d": (3, 64, 256, 512, 1024, 2048),
+    "resnext101_32x4d": (3, 64, 256, 512, 1024, 2048),
     "resnext101_32x8d": (3, 64, 256, 512, 1024, 2048),
+    "resnext101_32x16d": (3, 64, 256, 512, 1024, 2048),
+    "resnext101_32x32d": (3, 64, 256, 512, 1024, 2048),
+    "resnext101_32x48d": (3, 64, 256, 512, 1024, 2048),
 }
 
 

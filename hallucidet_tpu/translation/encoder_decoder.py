@@ -76,8 +76,17 @@ class EncoderDecoder:
         avg2d_flag: bool = True,
         arch: str = "unet",
     ):
-        if encoder_depth != 5:
-            raise NotImplementedError("encoder_depth != 5 not supported")
+        if not 3 <= encoder_depth <= 5:
+            raise ValueError("encoder_depth must be in [3, 5]")
+        # depth < 5: the default decoder_channels prefix, matching smp's
+        # documented pairing (e.g. depth 4 -> (256, 128, 64, 32)); the
+        # reference wrapper itself never passes decoder_channels, so this is
+        # the only self-consistent choice (decoders/unet/model.py:21-28).
+        depth_kw = (
+            {"encoder_depth": encoder_depth,
+             "decoder_channels": (256, 128, 64, 32, 16)[:encoder_depth]}
+            if encoder_depth != 5 else {}
+        )
         self.module = create_model(
             arch=arch,
             encoder_name=name,
@@ -85,6 +94,7 @@ class EncoderDecoder:
             classes=output_channels,
             decoder_attention_type=decoder_attention_type,
             head=segmentation_head,
+            **depth_kw,
         )
         # encoder_weights='imagenet' requires a converted torch checkpoint in
         # this zero-egress environment; loading happens via interop.

@@ -24,6 +24,11 @@ class Unet(nn.Module):
     HalluciDet variants (reference: src/models/encoder_decoder.py:29-45)."""
 
     encoder_name: str = "resnet34"
+    # number of encoder stages consumed, in [3, 5]; len(decoder_channels)
+    # must match (reference: decoders/unet/model.py:21-28,59 — smp raises on
+    # mismatch). Deeper encoder stages exist as params but are dead code
+    # under jit (XLA DCE), matching the reference's truncated forward.
+    encoder_depth: int = 5
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_use_batchnorm: bool = True
     decoder_attention_type: Optional[str] = None
@@ -39,7 +44,7 @@ class Unet(nn.Module):
 
     def _check_input_shape(self, x: jnp.ndarray):
         h, w = x.shape[1:3]
-        stride = 32  # encoder output stride (depth 5)
+        stride = 2 ** self.encoder_depth  # encoder output stride
         if h % stride != 0 or w % stride != 0:
             raise ValueError(
                 f"input H/W ({h}, {w}) must be divisible by {stride} "
@@ -56,11 +61,21 @@ class Unet(nn.Module):
     ):
         from hallucidet_tpu.nn.encoders import get_encoder
 
+        if not 3 <= self.encoder_depth <= 5:
+            raise ValueError("encoder_depth must be in [3, 5]")
+        if len(self.decoder_channels) != self.encoder_depth:
+            raise ValueError(
+                f"Model depth is {self.encoder_depth}, but you provide "
+                f"`decoder_channels` for {len(self.decoder_channels)} blocks."
+            )
         self._check_input_shape(x)
         encoder, _, needs_center = get_encoder(self.encoder_name)
         if self.remat and hasattr(encoder, "remat"):
             encoder = encoder.copy(remat=True)
         features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
+        # consume only encoder_depth stages; the deeper features are unused
+        # and their compute is eliminated by XLA
+        features = features[: self.encoder_depth + 1]
         s2d = self.s2d_tail and self.decoder_attention_type is None
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,
