@@ -193,7 +193,18 @@ def _build(net: str, hw=(64, 64)):
         if missing:
             raise ValueError(f"LPIPS checkpoint {path} missing: {sorted(missing)}")
     else:
-        # fixed-seed random tower (documented fallback; zero-egress build)
+        # fixed-seed random tower (documented fallback; zero-egress build).
+        # Loud by design: training against random-feature distances is a
+        # usable baseline but NOT pretrained LPIPS (VERDICT r2 weak #4).
+        import warnings
+
+        warnings.warn(
+            f"LPIPS '{net}': HALLUCIDET_LPIPS_WEIGHTS is not set — falling "
+            "back to FIXED-SEED RANDOM features, not pretrained LPIPS. "
+            "Convert real weights offline with scripts/convert_lpips.py and "
+            "export HALLUCIDET_LPIPS_WEIGHTS=/path/lpips_<net>.npz.",
+            stacklevel=3,
+        )
         variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
         # lpips lin heads are nonnegative after training; abs() keeps the
         # random-feature distance a proper (>=0) metric

@@ -79,3 +79,62 @@ def test_npz_loader_roundtrip(tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
     d = m.apply(loaded, x, x * 0.5)
     assert np.isfinite(float(d[0]))
+
+
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+def test_convert_lpips_script_roundtrip(net, tmp_path):
+    """scripts/convert_lpips.py: build an lpips-package-shaped state dict
+    from this model's own params (HWIO -> OIHW reversed), convert, reload,
+    and require bit-exact equality — validates the torch-name mapping and
+    the frozen npz schema end-to-end without egress."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_lpips", "scripts/convert_lpips.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    m = LPIPS(net=net)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(2), dummy, dummy)
+
+    sd = {
+        "scaling_layer.shift": np.array([-0.030, -0.088, -0.188]).reshape(1, 3, 1, 1),
+        "scaling_layer.scale": np.array([0.458, 0.448, 0.450]).reshape(1, 3, 1, 1),
+    }
+    for path, leaf in jax.tree_util.tree_leaves_with_path(v["params"]):
+        keys = [p.key for p in path]
+        w = np.asarray(leaf)
+        if keys[0] == "net":
+            idx = keys[1].split("_")[1]
+            sub = keys[2:-1]
+            torch_key = ".".join(["net", "sliceX", idx, *sub, ""])
+            if keys[-1] == "kernel":
+                sd[torch_key + "weight"] = np.transpose(w, (3, 2, 0, 1))
+            else:
+                sd[torch_key + "bias"] = w
+        else:  # lin<i>/kernel
+            i = keys[0][3:]
+            sd[f"lin{i}.model.1.weight"] = np.transpose(w, (3, 2, 0, 1))
+
+    arrays = mod.convert_state_dict(sd)
+    f = tmp_path / f"lpips_{net}.npz"
+    np.savez(f, **arrays)
+    loaded = load_lpips_npz(str(f))
+    orig = jax.tree_util.tree_leaves_with_path({"params": v["params"]})
+    got = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(orig) == len(got)
+    for (p1, a), (p2, b) in zip(orig, got):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_random_fallback_warns(monkeypatch):
+    from hallucidet_tpu.losses import lpips as lpips_mod
+
+    monkeypatch.delenv("HALLUCIDET_LPIPS_WEIGHTS", raising=False)
+    lpips_mod._build.cache_clear()
+    with pytest.warns(UserWarning, match="RANDOM features"):
+        lpips_mod._build("alex")
+    lpips_mod._build.cache_clear()
