@@ -277,6 +277,46 @@ def load_encoder_decoder_variables(
     return new_vars
 
 
+def synthesize_torch_state_dict(
+    variables: Dict[str, Any],
+    prefix: str = "",
+    detector: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_into_variables`, for exercising the full
+    converter->eval chain without real torch checkpoints (zero-egress smoke;
+    scripts/parity_llvip.py --smoke): emits a torch-layout state dict whose
+    conversion reproduces `variables` bit-exactly."""
+    import jax
+
+    fcos_gn = detector == "fcos"
+    sd: Dict[str, np.ndarray] = {}
+    for collection, tree in variables.items():
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            segs = [p.key for p in kp]
+            leaf_name = segs[-1]
+            mod_path = segs[:-1]
+            torch_key = (
+                prefix
+                + _segments_to_torch(mod_path, detector, fcos_gn)
+                + "."
+                + _PARAM_SUFFIX.get(leaf_name, leaf_name)
+            )
+            w = np.asarray(leaf)
+            if leaf_name == "kernel":
+                if w.ndim == 4:
+                    w = np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
+                elif mod_path and mod_path[-1] == "fc6":
+                    in_f, out_f = w.shape
+                    w4 = np.transpose(w, (1, 0)).reshape(
+                        out_f, 7, 7, in_f // 49
+                    )
+                    w = np.transpose(w4, (0, 3, 1, 2)).reshape(out_f, in_f)
+                else:
+                    w = np.transpose(w, (1, 0))
+            sd[torch_key] = w
+    return sd
+
+
 def patch_first_conv(params, new_in_channels: int, first_conv_path=("encoder", "conv1")):
     """Adapt a converted first-conv kernel to a different input channel count
     (reference: src/segmentation_models/encoders/_utils.py:5-38
