@@ -63,7 +63,7 @@ def main():
             hall = module.encoder_decoder.apply(
                 ed_vars, ir3, False, output_phase_form=True
             ).astype(jnp.float32)
-            dets = det.predict(variables, hall, phase_form=True)
+            dets = det.predict(variables, hall, phase_form=True, fast=True)
             return jnp.sum(dets.scores), None, (dets, None, None), None
         eval_step = jax.jit(step)
     else:

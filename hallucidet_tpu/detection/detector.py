@@ -121,8 +121,12 @@ class Detector:
         )
 
     def predict(self, variables, images: jnp.ndarray, rng=None,
-                phase_form: bool = False):
-        """Serving-only detections (no targets, no loss graph)."""
+                phase_form: bool = False, fast: bool = False):
+        """Serving-only detections (no targets, no loss graph). fast=True
+        uses the production-serving proposal pool (Faster R-CNN only)."""
+        kw = {}
         if phase_form:
-            return self.impl.infer(variables, images, rng, phase_form=True)
-        return self.impl.infer(variables, images, rng)
+            kw["phase_form"] = True
+        if fast and self.name == "fasterrcnn":
+            kw["fast"] = True
+        return self.impl.infer(variables, images, rng, **kw)

@@ -79,6 +79,11 @@ class FasterRCNNConfig:
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     representation_size: int = 1024
     num_anchors_per_loc: int = 3
+    # `infer(..., fast=True)` post-NMS proposal pool: torchvision's stock
+    # 1000 proposals push ~2x the RoI-head work of the parity path's 512
+    # sampled RoIs for no AP benefit at n_classes=2; 512 makes serving the
+    # fastest path (round-3 measurement, PERF.md)
+    serving_post_nms_top_n: int = 512
 
 
 class FasterRCNNModule(nn.Module):
@@ -462,14 +467,21 @@ class FasterRCNN:
         images: jnp.ndarray,
         rng: Optional[jax.Array] = None,
         phase_form: bool = False,
+        fast: bool = False,
     ) -> Detections:
         """Pure serving path: detections without targets or losses — the
         stock torchvision eval behavior (all post-NMS proposals through the
         box head, no GT augmentation/sampling). The parity eval path stays
         `forward` (the reference's published numbers flow through sampling,
-        see module docstring)."""
+        see module docstring). `fast=True` shrinks the post-NMS proposal
+        pool to cfg.serving_post_nms_top_n (the production-serving config;
+        detections beyond the pool's recall are negligible at 2 classes)."""
         del rng
         cfg = self.config
+        if fast:
+            cfg = dataclasses.replace(
+                cfg, rpn_post_nms_top_n_test=cfg.serving_post_nms_top_n
+            )
         if phase_form:
             original_hw = (2 * images.shape[1], 2 * images.shape[2])
         else:

@@ -129,6 +129,13 @@ class _S2DConvBnReLU(nn.Module):
         return nn.relu(y)
 
 
+# A phase-form SECOND-TO-LAST block (S2DMidBlock: conv1 = up_phase_conv(x)
+# + s2d_conv(S2D(skip)), conv2 in phase or full form) was built, exact, and
+# measured NEUTRAL on v5e (127.0-127.2 vs 127.7 img/s): the conv gains
+# (block_3 conv1 4.2->2.0 ms) were eaten by the S2D(skip) + the phase->full
+# D2S handoff copy (~2 ms in-context). Removed; post-mortem in PERF.md.
+
+
 class S2DTailBlock(nn.Module):
     """The final (skip-less, attention-free) DecoderBlock computed in phase
     form: the 2x nearest-upsample never materializes and the thin full-res

@@ -57,12 +57,15 @@ def dp_jit(step_fn, mesh: Mesh, donate_state: bool = True):
     with zero user-level collective code.
     """
     # (state, batch, rng): params/opt replicated, batch sharded on the
-    # leading axis, the PRNG key replicated.
+    # leading axis, the PRNG key replicated. Outputs replicate (a single
+    # sharding broadcasts over the whole output pytree, so this serves both
+    # the (state, logs) train step and the (total, logs, dets, hall) eval
+    # step); XLA inserts the all-gather for batch-sharded outputs.
     in_shardings = (replicated(mesh), data_sharding(mesh), replicated(mesh))
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
-        out_shardings=(replicated(mesh), replicated(mesh)),
+        out_shardings=replicated(mesh),
         donate_argnums=(0,) if donate_state else (),
     )
 

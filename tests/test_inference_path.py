@@ -26,6 +26,44 @@ def test_fasterrcnn_infer():
     assert np.asarray(dets.scores).min() >= 0
 
 
+def test_fasterrcnn_infer_fast_serving():
+    """fast=True shrinks the post-NMS pool to serving_post_nms_top_n."""
+    import dataclasses
+
+    det = FasterRCNN(SMALL_FRCNN, image_size=(64, 64))
+    v = det.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    # fast=True == stock infer with rpn_post_nms_top_n_test replaced by the
+    # serving pool
+    fast = det.infer(v, images, fast=True)
+    det_eq = FasterRCNN(
+        dataclasses.replace(
+            SMALL_FRCNN,
+            rpn_post_nms_top_n_test=SMALL_FRCNN.serving_post_nms_top_n,
+        ),
+        image_size=(64, 64),
+    )
+    want = det_eq.infer(v, images)
+    np.testing.assert_allclose(
+        np.asarray(fast.boxes), np.asarray(want.boxes), atol=1e-5
+    )
+    # a genuinely smaller pool still yields valid detections
+    det2 = FasterRCNN(
+        dataclasses.replace(SMALL_FRCNN, serving_post_nms_top_n=8),
+        image_size=(64, 64),
+    )
+    small = det2.infer(v, images, fast=True)
+    assert small.boxes.shape == (2, 5, 4)
+    assert np.isfinite(np.asarray(small.scores)).all()
+    # Detector wrapper surface
+    from hallucidet_tpu.detection import Detector
+
+    d = Detector(name="fasterrcnn", n_classes=2, size=64)
+    d.impl = det
+    out = d.predict(v, images, fast=True)
+    assert out.boxes.shape == (2, 5, 4)
+
+
 def test_retinanet_infer():
     det = RetinaNet(
         RetinaNetConfig(num_classes=2, backbone="resnet18", topk_candidates=20,

@@ -105,6 +105,17 @@ def test_s2d_tail_gradients_match(unet_pair):
         )
 
 
+def test_unetmodified_s2d_exact():
+    """UnetModified (no skips): the s2d mid+tail path must equal standard."""
+    m_std = Unet(encoder_name="resnet18", use_skips=False, s2d_tail=False)
+    m_s2d = Unet(encoder_name="resnet18", use_skips=False, s2d_tail=True)
+    v = m_std.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3), jnp.float32)
+    np.testing.assert_allclose(
+        m_s2d.apply(v, x, False), m_std.apply(v, x, False), atol=1e-5
+    )
+
+
 def test_s2d_tail_disabled_with_attention():
     # attention blocks need full-resolution features; the flag must fall back
     m = Unet(encoder_name="resnet18", s2d_tail=True,
