@@ -47,7 +47,11 @@ from hallucidet_tpu.ops.boxes import (
 from hallucidet_tpu.ops.losses import optax_sigmoid_ce, smooth_l1_loss, softmax_cross_entropy
 from hallucidet_tpu.ops.nms import NEG_INF, batched_nms_padded, nms_padded
 from hallucidet_tpu.ops.roi_align import multiscale_roi_align
-from hallucidet_tpu.ops.sampling import balanced_sample, match_boxes
+from hallucidet_tpu.ops.sampling import (
+    balanced_sample,
+    balanced_sample_packed,
+    match_boxes,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,21 +226,29 @@ def _rpn_loss(
             gtb, gtv, anchors, cfg.rpn_fg_iou, cfg.rpn_bg_iou,
             allow_low_quality_matches=True,
         )
-        matched_gt = gtb[jnp.clip(m.matched_idx, 0)]
         fg = m.matched_idx >= 0
         bg = m.matched_idx == -1
-        pos_m, neg_m = balanced_sample(
+        # packed sampling: the box-reg/objectness losses then run on the
+        # <=256 sampled slots instead of all 181k anchors (same draw and
+        # identical sums as the mask form — tests/test_anchors_sampling.py)
+        pos_idx, pos_val, neg_idx, neg_val = balanced_sample_packed(
             key, fg, bg, cfg.rpn_batch_size_per_image, cfg.rpn_positive_fraction
         )
-        reg_targets = encode_boxes(matched_gt, anchors)
+        sel_gt = gtb[jnp.clip(m.matched_idx, 0)[pos_idx]]
+        reg_targets = encode_boxes(sel_gt, anchors[pos_idx])
         box_l = smooth_l1_loss(
-            deltas, reg_targets, beta=1.0 / 9.0, mask=pos_m[:, None]
+            deltas[pos_idx], reg_targets, beta=1.0 / 9.0, mask=pos_val[:, None]
         )
-        sampled = pos_m | neg_m
+        idx_all = jnp.concatenate([pos_idx, neg_idx])
+        val_all = jnp.concatenate([pos_val, neg_val])
         obj_l = jnp.sum(
-            jnp.where(sampled, optax_sigmoid_ce(obj, fg.astype(obj.dtype)), 0.0)
+            jnp.where(
+                val_all,
+                optax_sigmoid_ce(obj[idx_all], fg[idx_all].astype(obj.dtype)),
+                0.0,
+            )
         )
-        return box_l, obj_l, jnp.sum(sampled)
+        return box_l, obj_l, jnp.sum(val_all)
 
     box_l, obj_l, n_sampled = jax.vmap(one)(
         targets.boxes, targets.labels, targets.valid, objectness, pred_deltas, keys

@@ -81,6 +81,27 @@ def balanced_sample(
     Returns (pos_mask, neg_mask) over [N].
     """
     n = positive.shape[0]
+    pos_idx, pos_val, neg_idx, neg_val = balanced_sample_packed(
+        key, positive, negative, batch_size, positive_fraction
+    )
+    pos_mask = jnp.zeros((n,), bool).at[pos_idx].set(pos_val) & positive
+    neg_mask = jnp.zeros((n,), bool).at[neg_idx].set(neg_val) & negative
+    return pos_mask, neg_mask
+
+
+def balanced_sample_packed(
+    key: jax.Array,
+    positive: jnp.ndarray,  # [N] bool
+    negative: jnp.ndarray,  # [N] bool
+    batch_size: int,
+    positive_fraction: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`balanced_sample` returning PACKED slots instead of [N] masks:
+    (pos_idx [P], pos_valid [P], neg_idx [Q], neg_valid [Q]) with
+    P = batch_size*positive_fraction, Q = batch_size. Same draw as
+    balanced_sample (identical key usage); lets loss code run on the <=
+    batch_size sampled entries instead of all N candidates."""
+    n = positive.shape[0]
     kp, kn = jax.random.split(key)
     max_pos = int(batch_size * positive_fraction)
 
@@ -92,16 +113,14 @@ def balanced_sample(
         count = jnp.minimum(jnp.sum(mask), max_count)
         _, idx = jax.lax.top_k(score, min(max_count, n))
         rank = jnp.arange(min(max_count, n))
-        chosen = jnp.zeros((n,), bool).at[idx].set(rank < count)
-        return chosen & mask, count
+        return idx, rank < count, count
 
-    pos_mask, num_pos = pick(kp, positive, max_pos)
+    pos_idx, pos_val, num_pos = pick(kp, positive, max_pos)
     max_neg = batch_size  # upper bound; actual clipped below
     neg_budget = jnp.minimum(batch_size - num_pos, jnp.sum(negative))
     noise = jax.random.uniform(kn, (n,))
     score = jnp.where(negative, noise, -1.0)
-    _, idx = jax.lax.top_k(score, min(max_neg, n))
+    _, neg_idx = jax.lax.top_k(score, min(max_neg, n))
     rank = jnp.arange(min(max_neg, n))
-    neg_mask = jnp.zeros((n,), bool).at[idx].set(rank < neg_budget)
-    neg_mask = neg_mask & negative
-    return pos_mask, neg_mask
+    neg_val = rank < neg_budget
+    return pos_idx, pos_val, neg_idx, neg_val

@@ -96,6 +96,29 @@ def test_balanced_sample_counts():
     assert np.asarray(nm2).sum() == 48
 
 
+def test_balanced_sample_packed_matches_mask_form():
+    """balanced_sample_packed must select EXACTLY the same elements as the
+    mask form for the same key (the RPN loss runs on the packed slots;
+    golden snapshots depend on the draw being unchanged)."""
+    key = jax.random.PRNGKey(3)
+    n = 500
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.rand(n) < 0.05)
+    neg = jnp.asarray((rng.rand(n) < 0.6) & ~np.asarray(pos))
+    pm, nm = S.balanced_sample(key, pos, neg, batch_size=64, positive_fraction=0.25)
+    pi, pv, ni, nv = S.balanced_sample_packed(key, pos, neg, 64, 0.25)
+    pm2 = np.zeros(n, bool)
+    pm2[np.asarray(pi)[np.asarray(pv)]] = True
+    nm2 = np.zeros(n, bool)
+    nm2[np.asarray(ni)[np.asarray(nv)]] = True
+    np.testing.assert_array_equal(pm2, np.asarray(pm))
+    np.testing.assert_array_equal(nm2, np.asarray(nm))
+    # packed slots marked valid are unique and in-mask
+    sel_p = np.asarray(pi)[np.asarray(pv)]
+    assert len(set(sel_p.tolist())) == len(sel_p)
+    assert np.asarray(pos)[sel_p].all()
+
+
 def test_resize_bilinear_matches_halfpixel_oracle():
     rng = np.random.RandomState(0)
     img = rng.rand(1, 5, 7, 3).astype(np.float32)
