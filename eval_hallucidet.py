@@ -26,7 +26,7 @@ from hallucidet_tpu.train import (
 
 def main():
     args = Config.argument_parser()
-    Config.set_environment()
+    Config.set_environment(args)
     from hallucidet_tpu.observability import setup_debug
 
     setup_debug()  # HALLUCIDET_DEBUG_NANS=1 enables jit NaN guards
@@ -109,7 +109,9 @@ def main():
         max_boxes=Config.Dataset.max_boxes,
     )
 
-    trainer = Trainer(max_epochs=0, seed=seed)
+    trainer = Trainer(
+        max_epochs=0, seed=seed, n_devices=Config.Environment.N_DEVICES
+    )
     results = trainer.test_hallucidet(module, dm)
     # reference print order (eval_hallucidet.py:180-182)
     print(f"AP@50 IR  : {results['map_ir']['map_50'] * 100:.2f}")

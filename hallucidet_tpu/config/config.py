@@ -115,6 +115,11 @@ class Config:
         parser.add_argument("--detector-path", type=str, default=None)
         parser.add_argument("--device", type=str, default=None, help="tpu or cpu")
         parser.add_argument(
+            "--n-devices", type=int, default=None,
+            help="data-parallel device count (Config.Environment.N_DEVICES; "
+            "the reference's N_GPUS). >1 runs every step DP over a mesh.",
+        )
+        parser.add_argument(
             "--fuse-data", type=str, default="none",
             help="none, addition, attention, cross",
         )
@@ -195,7 +200,9 @@ class Config:
     # ---- mutators ----
 
     @staticmethod
-    def set_environment():
+    def set_environment(args=None):
+        if args is not None and getattr(args, "n_devices", None):
+            Config.Environment.N_DEVICES = args.n_devices
         os.environ.setdefault("OMP_NUM_THREADS", Config.Environment.N_CORE)
         os.environ.setdefault("OPENBLAS_NUM_THREADS", Config.Environment.N_CORE)
         os.environ.setdefault("MKL_NUM_THREADS", Config.Environment.N_CORE)

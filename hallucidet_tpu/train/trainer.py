@@ -22,6 +22,12 @@ from hallucidet_tpu.train.optim import EarlyStopping, PlateauScheduler
 
 
 class Trainer:
+    """n_devices > 1 runs every train/eval step data-parallel over a device
+    mesh (Config.Environment.N_DEVICES, the reference's N_GPUS knob): params
+    replicated, batches sharded on the leading axis, XLA inserting the
+    gradient all-reduce over ICI (train/parallel.py). The global batch size
+    must be divisible by n_devices (loaders use drop_last=True)."""
+
     def __init__(
         self,
         max_epochs: int,
@@ -31,6 +37,7 @@ class Trainer:
         early_stopping: Optional[EarlyStopping] = None,
         plateau: Optional[PlateauScheduler] = None,
         seed: int = 123,
+        n_devices: int = 1,
     ):
         self.max_epochs = max_epochs
         self.ckpt = ckpt
@@ -40,6 +47,32 @@ class Trainer:
         self.plateau = plateau
         self.seed = seed
         self.global_step = 0
+        self.mesh = None
+        if n_devices and n_devices > 1:
+            from hallucidet_tpu.train.parallel import make_mesh
+
+            self.mesh = make_mesh(n_devices)
+
+    def _jit_step(self, step, donate: bool = False):
+        if self.mesh is not None:
+            from hallucidet_tpu.train.parallel import dp_jit
+
+            return dp_jit(step, self.mesh, donate_state=donate)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def _place(self, state, batch):
+        if self.mesh is None:
+            return state, batch
+        from hallucidet_tpu.train.parallel import replicate, shard_batch
+
+        return state, shard_batch(self.mesh, batch)
+
+    def _replicate_state(self, state):
+        if self.mesh is None:
+            return state
+        from hallucidet_tpu.train.parallel import replicate
+
+        return replicate(self.mesh, state)
 
     def _log(self, payload: Dict):
         if self.logger is not None:
@@ -48,9 +81,11 @@ class Trainer:
     # ---- detector pretraining (reference: DetectorLit) ----
 
     def fit_detector(self, module, dm) -> Dict:
-        train_step = jax.jit(module.make_train_step(), donate_argnums=0)
-        eval_step = jax.jit(module.make_eval_step())
-        state = (module.variables["params"], module.opt_state)
+        train_step = self._jit_step(module.make_train_step(), donate=True)
+        eval_step = self._jit_step(module.make_eval_step())
+        state = self._replicate_state(
+            (module.variables["params"], module.opt_state)
+        )
         base_rng = jax.random.PRNGKey(self.seed)
         history = {}
 
@@ -62,6 +97,7 @@ class Trainer:
                 if bi >= n_batches:
                     break
                 rng = jax.random.fold_in(base_rng, self.global_step)
+                _, batch = self._place(state, batch)
                 state, logs = train_step(state, batch, rng)
                 self.global_step += 1
                 logs["train/loss/step"] = self.global_step
@@ -72,6 +108,7 @@ class Trainer:
             val_losses = []
             for batch in dm.val_dataloader():
                 rng = jax.random.fold_in(base_rng, 10_000_000 + epoch)
+                _, batch = self._place(state, batch)
                 total, dets = eval_step(state[0], batch, rng)
                 val_losses.append(float(total))
                 val_map_metric.update_padded(dets, batch[1])
@@ -101,11 +138,13 @@ class Trainer:
         return history
 
     def test_detector(self, module, dm, params=None) -> Dict:
-        eval_step = jax.jit(module.make_eval_step())
+        eval_step = self._jit_step(module.make_eval_step())
         params = params if params is not None else module.variables["params"]
+        params = self._replicate_state(params)
         metric = MeanAveragePrecision()
         rng = jax.random.PRNGKey(self.seed + 999)
         for batch in dm.test_dataloader():
+            _, batch = self._place(params, batch)
             _, dets = eval_step(params, batch, rng)
             metric.update_padded(dets, batch[1])
         return metric.compute()
@@ -113,8 +152,8 @@ class Trainer:
     # ---- hallucidet training (reference: EncoderDecoderLit) ----
 
     def fit_hallucidet(self, module, dm) -> Dict:
-        train_step = jax.jit(module.make_train_step(), donate_argnums=0)
-        eval_step = jax.jit(module.make_eval_step(with_baselines=True))
+        train_step = self._jit_step(module.make_train_step(), donate=True)
+        eval_step = self._jit_step(module.make_eval_step(with_baselines=True))
         # train_det=True: the step optimizes the combined {ed, det} tree
         # (reference unfreeze, train_hallucidet.py:429-435); the opt_state in
         # module.__init__ is already built over that tree.
@@ -125,11 +164,11 @@ class Trainer:
             }
         else:
             params0 = module.ed_variables["params"]
-        state = (
+        state = self._replicate_state((
             params0,
             module.ed_variables.get("batch_stats", {}),
             module.opt_state,
-        )
+        ))
         base_rng = jax.random.PRNGKey(self.seed)
         history = {}
 
@@ -141,6 +180,7 @@ class Trainer:
                 if bi >= n_batches:
                     break
                 rng = jax.random.fold_in(base_rng, self.global_step)
+                _, batch = self._place(state, batch)
                 state, logs = train_step(state, batch, rng)
                 self.global_step += 1
                 payload = {f"train/loss/{k}": v for k, v in logs.items()}
@@ -153,6 +193,7 @@ class Trainer:
             val_losses = []
             for batch in dm.val_dataloader():
                 rng = jax.random.fold_in(base_rng, 10_000_000 + epoch)
+                _, batch = self._place(state, batch)
                 total, logs, (d_hall, d_rgb, d_ir), _ = eval_step(state, batch, rng)
                 val_losses.append(float(total))
                 _, t_rgb, _, t_ir = batch
@@ -204,7 +245,7 @@ class Trainer:
         return history
 
     def test_hallucidet(self, module, dm, state=None) -> Dict:
-        eval_step = jax.jit(module.make_eval_step(with_baselines=True))
+        eval_step = self._jit_step(module.make_eval_step(with_baselines=True))
         if state is None:
             params0 = module.ed_variables["params"]
             if module.cfg.train_det:
@@ -213,11 +254,13 @@ class Trainer:
                 params0,
                 module.ed_variables.get("batch_stats", {}),
             )
+        state = self._replicate_state(state)
         map_hall, map_rgb, map_ir = (
             MeanAveragePrecision(), MeanAveragePrecision(), MeanAveragePrecision(),
         )
         rng = jax.random.PRNGKey(self.seed + 555)
         for batch in dm.test_dataloader():
+            _, batch = self._place(state, batch)
             _, _, (d_hall, d_rgb, d_ir), _ = eval_step(state, batch, rng)
             _, t_rgb, _, t_ir = batch
             map_hall.update_padded(d_hall, t_ir)

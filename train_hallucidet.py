@@ -30,7 +30,7 @@ from hallucidet_tpu.train import (
 
 def main():
     args = Config.argument_parser()
-    Config.set_environment()
+    Config.set_environment(args)
     from hallucidet_tpu.observability import setup_debug
 
     setup_debug()  # HALLUCIDET_DEBUG_NANS=1 enables jit NaN guards
@@ -131,6 +131,7 @@ def main():
         early_stopping=EarlyStopping(patience=5, mode="max"),
         plateau=PlateauScheduler() if Config.Optimizer.scheduler_on else None,
         seed=seed,
+        n_devices=Config.Environment.N_DEVICES,
     )
     trainer.fit_hallucidet(module, dm)
 
