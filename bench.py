@@ -53,15 +53,14 @@ def main():
         def step(state, batch_, rng):
             ed_params, ed_bs = state
             _, _, ir, _ = batch_
-            from hallucidet_tpu.ops.image_ops import expand_one_channel_to_three
-
-            ir3 = expand_one_channel_to_three(ir).astype(jnp.bfloat16)
+            # raw 1-channel IR: the ResNet stem folds its kernel over the
+            # replicated channels (nn/resnet.py gray_fold) — no 1->3 expand
             ed_vars = jax.tree_util.tree_map(
                 lambda t: t.astype(jnp.bfloat16),
                 {"params": ed_params, "batch_stats": ed_bs},
             )
             hall = module.encoder_decoder.apply(
-                ed_vars, ir3, False, output_phase_form=True
+                ed_vars, ir.astype(jnp.bfloat16), False, output_phase_form=True
             ).astype(jnp.float32)
             dets = det.predict(variables, hall, phase_form=True, fast=True)
             return jnp.sum(dets.scores), None, (dets, None, None), None

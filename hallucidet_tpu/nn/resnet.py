@@ -153,6 +153,12 @@ class ResNet(nn.Module):
     # (exact; XLA's C=3 conv at megapixel sizes is ~6x off its roofline —
     # PERF.md). Param layout unchanged.
     s2d_stem: bool = True
+    # a 1-channel input against the 3-channel stem params is interpreted as
+    # replicated grayscale: conv(replicate3(x), W) == conv(x, W.sum(ch)) —
+    # EXACT, and skips 2/3 of the stem traffic plus the megapixel 1->3
+    # expand (the HalluciDet IR path). True-1-channel-native params come
+    # from interop.patch_first_conv instead; set gray_fold=False to opt out.
+    gray_fold: bool = True
 
     @nn.compact
     def __call__(
@@ -164,13 +170,17 @@ class ResNet(nn.Module):
         dilate_from = {32: 5, 16: 4, 8: 3}[self.output_stride]
         features = [x]
 
+        fold = self.gray_fold and x.shape[-1] == 1
+        stem_ch = 3 if fold else x.shape[-1]
         if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             from hallucidet_tpu.ops.fused_upsample import (
                 s2d_stride2_conv_kernel,
                 space_to_depth2,
             )
 
-            kernel, _ = ConvParams((7, 7, x.shape[-1], 64), name="conv1")()
+            kernel, _ = ConvParams((7, 7, stem_ch, 64), name="conv1")()
+            if fold:
+                kernel = jnp.sum(kernel, axis=2, keepdims=True)
             kt = s2d_stride2_conv_kernel(kernel).astype(x.dtype)
             xs = space_to_depth2(x)
             dn = jax.lax.conv_dimension_numbers(
@@ -178,6 +188,15 @@ class ResNet(nn.Module):
             )
             out = jax.lax.conv_general_dilated(
                 xs, kt, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+            )
+        elif fold:
+            kernel, _ = ConvParams((7, 7, stem_ch, 64), name="conv1")()
+            kernel = jnp.sum(kernel, axis=2, keepdims=True).astype(x.dtype)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
             )
         else:
             out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)

@@ -121,6 +121,15 @@ class HalluciDetModule:
         self.use_phase_handoff = (
             cfg.phase_handoff and phase_capable and not recon_active
         )
+        # On the handoff path the U-Net consumes the RAW 1-channel IR frame:
+        # the ResNet stem folds its 3-channel kernel over the replicated
+        # channels (exact — nn/resnet.py gray_fold), skipping the megapixel
+        # 1->3 expand entirely.
+        from hallucidet_tpu.nn.resnet import RESNET_SPECS
+
+        self.use_gray_fold = (
+            self.use_phase_handoff and cfg.decoder_backbone in RESNET_SPECS
+        )
 
         self.tx = optim_lib.build_optimizer(
             cfg.optimizer, cfg.lr, gradient_clip_val=cfg.gradient_clip_val
@@ -153,7 +162,8 @@ class HalluciDetModule:
         want_hallucinated: bool = True,
     ):
         w = self.weights
-        ir3 = expand_one_channel_to_three(imgs_ir)
+        gray = self.use_gray_fold
+        ir3 = None if gray else expand_one_channel_to_three(imgs_ir)
 
         half = self.cfg.precision == 16
         compute_dtype = jnp.bfloat16 if half else jnp.float32
@@ -162,7 +172,7 @@ class HalluciDetModule:
             ed_vars = jax.tree_util.tree_map(
                 lambda t: t.astype(jnp.bfloat16), ed_vars
             )
-        unet_in = ir3.astype(compute_dtype)
+        unet_in = (imgs_ir if gray else ir3).astype(compute_dtype)
         # the benched product path: the s2d decoder tail hands its phase-form
         # output straight to the detector transform's resize — the full-res
         # hallucinated image never materializes (exact; tests/test_s2d_tail.py
@@ -239,6 +249,8 @@ class HalluciDetModule:
 
         det_rgb = det_ir = None
         if with_baseline_detections:
+            if ir3 is None:
+                ir3 = expand_one_channel_to_three(imgs_ir)
             _, det_rgb = self.detector.calculate_loss(
                 {"params": det_frozen}, imgs_rgb, targets_rgb,
                 train_det=False, rng=rng,

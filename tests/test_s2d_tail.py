@@ -105,6 +105,25 @@ def test_s2d_tail_gradients_match(unet_pair):
         )
 
 
+def test_gray_fold_stem_exact():
+    """ResNet on a 1-channel input == ResNet on the 3x-replicated input with
+    the same 3-channel params (conv(rep3(x), W) == conv(x, W.sum(ch)));
+    holds with and without the s2d stem."""
+    from hallucidet_tpu.nn.resnet import ResNet
+
+    for s2d in (True, False):
+        m = ResNet(arch="resnet18", s2d_stem=s2d)
+        x1 = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 96, 1))
+        x3 = jnp.repeat(x1, 3, axis=-1)
+        v = m.init(jax.random.PRNGKey(1), x3, False)
+        f3 = m.apply(v, x3, False)
+        f1 = m.apply(v, x1, False)
+        for a, b in zip(f3[1:], f1[1:]):  # features[0] is the input itself
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-5
+            )
+
+
 def test_unetmodified_s2d_exact():
     """UnetModified (no skips): the s2d mid+tail path must equal standard."""
     m_std = Unet(encoder_name="resnet18", use_skips=False, s2d_tail=False)
