@@ -29,5 +29,6 @@ from hallucidet_tpu.train.detector_module import (  # noqa: F401
 from hallucidet_tpu.train.hallucidet_module import (  # noqa: F401
     HalluciDetModule,
     HalluciDetTrainConfig,
+    auto_remat,
 )
 from hallucidet_tpu.train.trainer import Trainer  # noqa: F401

@@ -59,6 +59,26 @@ class HalluciDetTrainConfig:
     phase_handoff: bool = True
 
 
+def auto_remat(
+    precision: int, batch: int, hw: Tuple[int, int] = (1024, 1280),
+    hbm_budget_gb: float = 13.5,
+) -> bool:
+    """Whether per-block remat is needed for a training geometry.
+
+    The measured no-remat footprint of the reference recipe (batch 8, f32,
+    LLVIP-native 1024x1280) is 26.4 GB; activations dominate and scale
+    linearly in batch, pixels, and dtype width. bf16 batch-8 fits v5e's
+    15.75 GB HBM and trains ~15% faster without the recompute (PERF.md:
+    184.0 vs 216.9 ms/step), so remat engages only when the scaled
+    estimate crosses the budget."""
+    bytes_px = 2 if precision == 16 else 4
+    est_gb = (
+        26.4 * (bytes_px / 4) * (batch / 8)
+        * (hw[0] * hw[1]) / (1024 * 1280)
+    )
+    return est_gb > hbm_budget_gb
+
+
 DEFAULT_WEIGHTS = {
     "pixel_rgb": 0.0, "pixel_ir": 0.0, "perceptual_rgb": 0.0,
     "perceptual_ir": 0.0, "det_regression": 0.1, "det_classification": 0.1,

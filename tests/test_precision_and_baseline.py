@@ -120,3 +120,15 @@ def test_cnn_based_da_baseline():
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert dets.boxes.shape[1] == SMALL_DET.box_detections_per_img
+
+
+def test_auto_remat_policy():
+    """remat engages only when the no-remat activation estimate overflows
+    HBM: the bf16 batch-8 LLVIP reference recipe fits (measured, PERF.md),
+    f32 or batch-16 does not; half-res frames fit even in f32."""
+    from hallucidet_tpu.train import auto_remat
+
+    assert auto_remat(16, 8, (1024, 1280)) is False
+    assert auto_remat(32, 8, (1024, 1280)) is True
+    assert auto_remat(16, 16, (1024, 1280)) is True
+    assert auto_remat(32, 8, (512, 640)) is False

@@ -3,7 +3,7 @@
 TPU and dump an xplane for tools/xplane_top.py.
 
 Usage: python tools/profile_step.py [outdir] [mode]
-  mode: parity (default) | serving | unet | detector
+  mode: parity (default) | serving | unet | detector | train
 """
 
 import sys
@@ -24,7 +24,7 @@ def main():
 
     cfg = HalluciDetTrainConfig(
         detector="fasterrcnn", decoder_backbone="resnet34", input_size=300,
-        precision=16, remat=False,
+        precision=16, remat=(mode == "train"),
     )
     module = HalluciDetModule(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64))
 
@@ -69,6 +69,15 @@ def main():
         step = jax.jit(fn)
         args = lambda i: (state[0], state[1],
                           ir + jnp.float32(i) * 1e-6)
+    elif mode == "train":
+        # the reference training recipe: fwd + bwd through the frozen
+        # detector, remat, Adam update (tools/bench_train.py semantics)
+        train_step = jax.jit(module.make_train_step())
+        tstate = (module.ed_variables["params"],
+                  module.ed_variables.get("batch_stats", {}),
+                  module.opt_state)
+        step = train_step
+        args = lambda i: (tstate, data, jax.random.fold_in(jax.random.PRNGKey(1), i))
     else:
         eval_step = jax.jit(
             module.make_eval_step(with_baselines=False, with_hallucinated=False)
