@@ -358,6 +358,21 @@ class HalluciDetModule:
 
         return step
 
+    def precast_eval_state(self, state):
+        """Pre-cast the encoder-decoder tree to bf16 once per eval loop
+        (precision 16): forward_step's per-step astype then becomes an XLA
+        no-op, saving the cast traffic on every step. The detector tree
+        (train_det state) stays f32 — detector box math never runs bf16
+        (PERF.md policy). Exact: cast(cast(x)) == cast(x)."""
+        if self.cfg.precision != 16:
+            return state
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16), tree
+        )
+        p0 = state[0]
+        p0 = {**p0, "ed": cast(p0["ed"])} if self.cfg.train_det else cast(p0)
+        return (p0, cast(state[1]), *state[2:])
+
     def make_eval_step(
         self, with_baselines: bool = True, with_hallucinated: bool = False
     ) -> Callable:

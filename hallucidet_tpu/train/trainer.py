@@ -191,10 +191,14 @@ class Trainer:
             map_rgb = MeanAveragePrecision()
             map_ir = MeanAveragePrecision()
             val_losses = []
+            # one bf16 cast per epoch instead of one per step (exact)
+            val_state = module.precast_eval_state(state)
             for batch in dm.val_dataloader():
                 rng = jax.random.fold_in(base_rng, 10_000_000 + epoch)
-                _, batch = self._place(state, batch)
-                total, logs, (d_hall, d_rgb, d_ir), _ = eval_step(state, batch, rng)
+                _, batch = self._place(val_state, batch)
+                total, logs, (d_hall, d_rgb, d_ir), _ = eval_step(
+                    val_state, batch, rng
+                )
                 val_losses.append(float(total))
                 _, t_rgb, _, t_ir = batch
                 map_hall.update_padded(d_hall, t_ir)
@@ -254,7 +258,7 @@ class Trainer:
                 params0,
                 module.ed_variables.get("batch_stats", {}),
             )
-        state = self._replicate_state(state)
+        state = self._replicate_state(module.precast_eval_state(state))
         map_hall, map_rgb, map_ir = (
             MeanAveragePrecision(), MeanAveragePrecision(), MeanAveragePrecision(),
         )

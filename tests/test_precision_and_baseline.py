@@ -132,3 +132,25 @@ def test_auto_remat_policy():
     assert auto_remat(32, 8, (1024, 1280)) is True
     assert auto_remat(16, 16, (1024, 1280)) is True
     assert auto_remat(32, 8, (512, 640)) is False
+
+
+def test_precast_eval_state_exact():
+    """Eval on the pre-cast (bf16) state must equal eval on the raw f32
+    state bit-for-bit: forward_step casts to bf16 internally either way,
+    and cast(cast(x)) == cast(x). The Trainer's val/test loops and bench.py
+    rely on this (one cast per epoch instead of per step)."""
+    m = _small_module(16)
+    step = jax.jit(m.make_eval_step(with_baselines=False))
+    state = (m.ed_variables["params"], m.ed_variables.get("batch_stats", {}))
+    pre = m.precast_eval_state(state)
+    assert jax.tree_util.tree_leaves(pre[0])[0].dtype == jnp.bfloat16
+    batch = _batch()
+    t_raw, logs_raw, (d_raw, _, _), _ = step(state, batch, jax.random.PRNGKey(5))
+    t_pre, logs_pre, (d_pre, _, _), _ = step(pre, batch, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(t_raw), np.asarray(t_pre))
+    np.testing.assert_array_equal(np.asarray(d_raw.boxes), np.asarray(d_pre.boxes))
+    np.testing.assert_array_equal(np.asarray(d_raw.scores), np.asarray(d_pre.scores))
+    # precision 32: identity
+    m32 = _small_module(32)
+    s32 = (m32.ed_variables["params"], {})
+    assert m32.precast_eval_state(s32) is s32

@@ -22,9 +22,12 @@ def main():
     batch = 8
     hw = (1024, 1280)
 
+    from hallucidet_tpu.train import auto_remat
+
     cfg = HalluciDetTrainConfig(
         detector="fasterrcnn", decoder_backbone="resnet34", input_size=300,
-        precision=16, remat=(mode == "train"),
+        precision=16,
+        remat=(mode == "train") and auto_remat(16, batch, hw),
     )
     module = HalluciDetModule(cfg, jax.random.PRNGKey(0), sample_hw=(64, 64))
 
