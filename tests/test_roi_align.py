@@ -80,6 +80,46 @@ def test_fpn_level_assignment():
     np.testing.assert_array_equal(lvl, [0, 2, 3, 0])
 
 
+def test_multiscale_fused_matches_per_level():
+    """The fused (level-packed single-einsum) form must equal the per-level
+    pool-and-select form exactly, including border clamps, degenerate boxes,
+    and width-padded (non-square) levels."""
+    rng = np.random.RandomState(11)
+    feats = [
+        jnp.asarray(rng.randn(40, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(20, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(10, 8, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(5, 4, 8).astype(np.float32)),
+    ]
+    strides = (4, 8, 16, 32)
+    # random boxes spanning every level bucket + pathological ones
+    wh = rng.uniform(2.0, 400.0, size=(64, 2)).astype(np.float32)
+    xy = rng.uniform(-8.0, 120.0, size=(64, 2)).astype(np.float32)
+    rois = np.concatenate([xy, xy + wh], axis=1)
+    rois = np.concatenate(
+        [
+            rois,
+            np.array(
+                [
+                    [0, 0, 160, 128],  # exactly the image frame
+                    [10, 10, 10.2, 10.2],  # degenerate -> clamped to size 1
+                    [-20, -20, 500, 500],  # overshoots every border
+                    [150, 120, 170, 140],  # hangs off the bottom-right
+                ],
+                dtype=np.float32,
+            ),
+        ]
+    ).astype(np.float32)
+    rois_j = jnp.asarray(rois)
+    fused = np.asarray(
+        R.multiscale_roi_align(feats, rois_j, strides, (7, 7), 2)
+    )
+    per_level = np.asarray(
+        R.multiscale_roi_align_per_level(feats, rois_j, strides, (7, 7), 2)
+    )
+    np.testing.assert_allclose(fused, per_level, atol=1e-4)
+
+
 def test_multiscale_roi_align_selects_levels():
     rng = np.random.RandomState(3)
     feats = [
