@@ -31,10 +31,11 @@ def main():
     from hallucidet_tpu.detection import pad_targets
     from hallucidet_tpu.train import HalluciDetModule, HalluciDetTrainConfig
 
-    # batch 32: throughput-optimal serving batch from the measured sweep
-    # (PERF.md: b8 133, b16 141, b32 154, b64 160 img/s — per-step fixed
-    # costs amortize with batch; 32 keeps compile/memory margins)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch 64: throughput-optimal serving batch from the post-RoIAlign-fusion
+    # sweep (PERF.md: b32 166, b64 174 img/s; b96 blows the compile budget,
+    # b128 OOMs on the pooled-RoI intermediate) — per-step fixed costs
+    # amortize with batch
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     hw = (1024, 1280)  # native LLVIP frame
 
     # --precision 16: bf16 translation net (the fast product config);
@@ -65,7 +66,9 @@ def main():
             hall = module.encoder_decoder.apply(
                 ed_vars, ir.astype(jnp.bfloat16), False, output_phase_form=True
             ).astype(jnp.float32)
-            dets = det.predict(variables, hall, phase_form=True, fast=True)
+            dets = det.predict(
+                variables, hall, phase_form=module.phase_factors, fast=True
+            )
             return jnp.sum(dets.scores), None, (dets, None, None), None
         eval_step = jax.jit(step)
     else:

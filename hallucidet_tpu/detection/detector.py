@@ -110,23 +110,24 @@ class Detector:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
-        phase_form: bool = False,
+        phase_form=False,
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         """(losses, detections) — the reference's eval-mode loss forward
-        contract (reference: src/models/detector.py:105-118). phase_form:
-        `images` is the U-Net s2d tail's [B,H/2,W/2,4C] output, consumed
-        directly by the transform resize."""
+        contract (reference: src/models/detector.py:105-118). phase_form
+        (bool | (fh, fw) tuple): `images` is the U-Net s2d tail's
+        [B,H/fh,W/fw,fh*fw*C] phase output, consumed directly by the
+        transform resize."""
         return self.impl.forward(
             variables, images, targets, train_det, rng, phase_form=phase_form
         )
 
     def predict(self, variables, images: jnp.ndarray, rng=None,
-                phase_form: bool = False, fast: bool = False):
+                phase_form=False, fast: bool = False):
         """Serving-only detections (no targets, no loss graph). fast=True
         uses the production-serving proposal pool (Faster R-CNN only)."""
         kw = {}
         if phase_form:
-            kw["phase_form"] = True
+            kw["phase_form"] = phase_form
         if fast and self.name == "fasterrcnn":
             kw["fast"] = True
         return self.impl.infer(variables, images, rng, **kw)

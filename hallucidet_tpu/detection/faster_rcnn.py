@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from hallucidet_tpu.ops.fused_upsample import phase_native_hw
 from hallucidet_tpu.detection.targets import Detections, Targets
 from hallucidet_tpu.detection.transform import DetectionTransform
 from hallucidet_tpu.nn.fpn import FPN
@@ -419,13 +420,13 @@ class FasterRCNN:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
-        phase_form: bool = False,  # images = U-Net s2d tail output [B,H/2,W/2,4C]
+        phase_form=False,  # bool | (fh, fw): images = U-Net s2d tail phase output
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         cfg = self.config
         if rng is None:
             rng = jax.random.PRNGKey(0)
         if phase_form:
-            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+            original_hw = phase_native_hw(images, phase_form)
         else:
             original_hw = images.shape[1:3]
         images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
@@ -478,7 +479,7 @@ class FasterRCNN:
         variables,
         images: jnp.ndarray,
         rng: Optional[jax.Array] = None,
-        phase_form: bool = False,
+        phase_form=False,
         fast: bool = False,
     ) -> Detections:
         """Pure serving path: detections without targets or losses — the
@@ -495,7 +496,7 @@ class FasterRCNN:
                 cfg, rpn_post_nms_top_n_test=cfg.serving_post_nms_top_n
             )
         if phase_form:
-            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+            original_hw = phase_native_hw(images, phase_form)
         else:
             original_hw = images.shape[1:3]
         images_t, _ = self.transform(images, None, phase_form=phase_form)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from hallucidet_tpu.ops.fused_upsample import phase_native_hw
 from hallucidet_tpu.detection.targets import Detections, Targets
 from hallucidet_tpu.detection.transform import DetectionTransform
 from hallucidet_tpu.nn.fpn import FPN
@@ -250,12 +251,12 @@ class RetinaNet:
         targets: Targets,
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
-        phase_form: bool = False,  # images = U-Net s2d tail output [B,H/2,W/2,4C]
+        phase_form=False,  # bool | (fh, fw): images = U-Net s2d tail phase output
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         del train_det, rng  # retinanet has no sampling and no mode-dependent path
         cfg = self.config
         if phase_form:
-            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+            original_hw = phase_native_hw(images, phase_form)
         else:
             original_hw = images.shape[1:3]
         images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
@@ -287,12 +288,12 @@ class RetinaNet:
         return losses, dets
 
     def infer(self, variables, images: jnp.ndarray, rng=None,
-              phase_form: bool = False) -> Detections:
+              phase_form=False) -> Detections:
         """Serving path: detections only (loss path skipped entirely)."""
         del rng
         cfg = self.config
         if phase_form:
-            original_hw = (2 * images.shape[1], 2 * images.shape[2])
+            original_hw = phase_native_hw(images, phase_form)
         else:
             original_hw = images.shape[1:3]
         images_t, _ = self.transform(images, None, phase_form=phase_form)

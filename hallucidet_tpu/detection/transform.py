@@ -19,10 +19,11 @@ import jax.numpy as jnp
 
 from hallucidet_tpu.detection.targets import Detections, Targets
 from hallucidet_tpu.ops.boxes import resize_boxes
+from hallucidet_tpu.ops.fused_upsample import phase_factors
 from hallucidet_tpu.ops.image_ops import (
     normalize,
     resize_bilinear,
-    resize_bilinear_from_phase2,
+    resize_bilinear_from_phase,
 )
 
 
@@ -41,16 +42,19 @@ class DetectionTransform:
         """images NHWC in [0,1] at native resolution -> normalized fixed-size
         batch; target boxes rescaled into the fixed frame.
 
-        phase_form=True: `images` is the U-Net s2d tail's 2x2 space-to-depth
-        output [B, H/2, W/2, 4C]; the resize consumes it directly (exact,
-        no full-resolution materialization)."""
+        phase_form: `images` is the U-Net s2d tail's space-to-depth output
+        [B, H/fh, W/fw, fh*fw*C] (True = the legacy (2,2) form; an (fh, fw)
+        tuple names the form); the resize consumes it directly (exact, no
+        full-resolution materialization)."""
         if phase_form:
-            _, h2, w2, c4 = images.shape
-            h, w, c = 2 * h2, 2 * w2, c4 // 4
+            fh, fw = phase_factors(phase_form)
+            nph = fh * fw
+            _, hp, wp, cf = images.shape
+            h, w, c = fh * hp, fw * wp, cf // nph
             mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
             std = self.image_std * (c if len(self.image_std) == 1 else 1)
-            out = normalize(images, mean * 4, std * 4)
-            out = resize_bilinear_from_phase2(out, self.size)
+            out = normalize(images, mean * nph, std * nph)
+            out = resize_bilinear_from_phase(out, self.size, (fh, fw))
         else:
             _, h, w, c = images.shape
             mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)

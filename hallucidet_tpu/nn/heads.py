@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hallucidet_tpu.nn.layers import BatchNorm, conv, make_activation
-from hallucidet_tpu.ops.fused_upsample import depth_to_space2, s2d_conv_kernel
+from hallucidet_tpu.ops.fused_upsample import depth_to_space, s2d_conv_kernel_f
 from hallucidet_tpu.ops.image_ops import upsample_nearest
 
 
@@ -30,10 +30,11 @@ class SegmentationHead(nn.Module):
     head: str = "sigmoid"  # sigmoid | relu_bn | avg_dropout_sigmoid | identity | any activation name
     dropout: float = 0.2
     avg2d: bool = True
-    # input is 2x2 space-to-depth phase form [B,H/2,W/2,4C] (UnetDecoder
-    # s2d_tail); the conv runs in phase form and the result is
-    # depth-to-spaced back before the head activation. Exact.
+    # input is space-to-depth phase form [B,H/fh,W/fw,fh*fw*C] (UnetDecoder
+    # s2d_tail with matching s2d_factors); the conv runs in phase form and
+    # the result is depth-to-spaced back before the head activation. Exact.
     s2d_input: bool = False
+    s2d_factors: tuple = (4, 2)
 
     @nn.compact
     def __call__(
@@ -47,11 +48,13 @@ class SegmentationHead(nn.Module):
             from hallucidet_tpu.nn.unet_decoder import ConvParams, _phase_conv
 
             assert self.kernel_size == 3 and self.upsampling == 1
+            fh, fw = self.s2d_factors
+            nph = fh * fw
             kernel, bias = ConvParams(
-                (3, 3, x.shape[-1] // 4, self.out_channels), use_bias=True,
+                (3, 3, x.shape[-1] // nph, self.out_channels), use_bias=True,
                 name="0",
             )()
-            kt = s2d_conv_kernel(kernel).astype(x.dtype)
+            kt = s2d_conv_kernel_f(kernel, fh, fw).astype(x.dtype)
             # pad output channels to a TPU-friendly width — XLA's conv is
             # pathologically slow for O≈12 lanes; dead channels are free by
             # comparison and sliced off before the depth-to-space.
@@ -63,16 +66,16 @@ class SegmentationHead(nn.Module):
                 # back to the pathologically slow O=12 conv
                 kt = jax.lax.optimization_barrier(kt)
             y = _phase_conv(x, kt)[..., :n]
-            y = y + jnp.tile(bias, 4)
+            y = y + jnp.tile(bias, nph)
             if keep_phase_form and self.head in (
                 "sigmoid", "identity", None, "tanh",
             ):
                 # elementwise activations commute with the phase
-                # interleave: return [B,H/2,W/2,4*out] for consumers that
-                # can read phase form (ops/image_ops.py
-                # resize_bilinear_from_phase2)
+                # interleave: return [B,H/fh,W/fw,nph*out] for consumers
+                # that can read phase form (ops/image_ops.py
+                # resize_bilinear_from_phase)
                 return make_activation(self.head)(y)
-            x = depth_to_space2(y)
+            x = depth_to_space(y, fh, fw)
         else:
             x = conv(
                 self.out_channels, self.kernel_size, 1, self.kernel_size // 2,

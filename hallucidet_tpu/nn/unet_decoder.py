@@ -20,8 +20,9 @@ import jax
 
 from hallucidet_tpu.nn.layers import Attention, BatchNorm, ConvBnReLU
 from hallucidet_tpu.ops.fused_upsample import (
-    s2d_conv_kernel,
+    s2d_conv_kernel_f,
     up_phase_conv_kernel,
+    up_phase_h2_conv_kernel,
     upsample2_concat_conv3x3,
 )
 from hallucidet_tpu.ops.image_ops import upsample_nearest
@@ -74,7 +75,7 @@ def _fast_mode() -> bool:
     return prec not in ("highest", "float32")
 
 
-def _phase_conv(x, kernel, padding=((1, 1), (1, 1))):
+def _phase_conv(x, kernel, padding=((1, 1), (1, 1)), strides=(1, 1)):
     """Conv used by the phase-form tail. The optimization barrier keeps XLA
     from mega-fusing it with the producer conv (measured 45 GF/ms fused vs
     ~2x better split); in fast mode (jax_default_matmul_precision not
@@ -89,22 +90,31 @@ def _phase_conv(x, kernel, padding=((1, 1), (1, 1))):
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
     out = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), padding, dimension_numbers=dn
+        x, kernel, strides, padding, dimension_numbers=dn
     )
     return out.astype(out_dtype)
 
 
 class _S2DConvBnReLU(nn.Module):
-    """ConvBnReLU computed in 2x2 space-to-depth (phase) form. Param tree is
+    """ConvBnReLU computed in space-to-depth (phase) form. Param tree is
     identical to ConvBnReLU ('0' conv [3,3,Cin,O], '1' bn over O); the BN runs
-    on a [..., 4, O] view so its stats/params stay per-O (full-res exact)."""
+    on a [..., nph, O] view so its stats/params stay per-O (full-res exact).
+
+    The shipped tail uses factors (4, 2): a second H-only packing level on
+    top of the 2x2 phase form. The extra H fold puts >=128 channels on the
+    TPU's 128-wide lane dim — the thin tail convs were lane-starved at 4x
+    packing (measured 66 -> 177 GF/ms for the [3,3,128,128]@H/4 form,
+    PERF.md round 3)."""
 
     features: int
     in_channels: int
     use_batchnorm: bool = True
-    # 's2d':  x is aligned phase form [B,h,w,4Cin]
-    # 'up':   x is coarse [B,h,w,Cin] -> aligned phase out
+    # 's2d':   x is aligned phase form [B,H/fh,W/fw,fh*fw*Cin]
+    # 'up':    x is coarse [B,h,w,Cin] -> (2,2) phase out (legacy tail)
+    # 'up_h2': x is coarse [B,h,w,Cin] -> (4,2) phase out via a strided
+    #          4-tap conv (no input fold copy)
     mode: str = "s2d"
+    factors: Tuple[int, int] = (2, 2)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,19 +123,23 @@ class _S2DConvBnReLU(nn.Module):
             (3, 3, self.in_channels, o), use_bias=not self.use_batchnorm,
             name="0",
         )()
-        transforms = {
-            "up": (up_phase_conv_kernel, ((1, 1), (1, 1))),
-            "s2d": (s2d_conv_kernel, ((1, 1), (1, 1))),
-        }
-        tf, pad = transforms[self.mode]
-        kt = tf(kernel)
-        y = _phase_conv(x, kt.astype(x.dtype), pad)
+        fh, fw = self.factors
+        nph = fh * fw
+        if self.mode == "up":
+            assert self.factors == (2, 2)
+            kt, pad, strides = up_phase_conv_kernel(kernel), ((1, 1), (1, 1)), (1, 1)
+        elif self.mode == "up_h2":
+            assert self.factors == (4, 2)
+            kt, pad, strides = up_phase_h2_conv_kernel(kernel), ((1, 1), (1, 1)), (2, 1)
+        else:
+            kt, pad, strides = s2d_conv_kernel_f(kernel, fh, fw), ((1, 1), (1, 1)), (1, 1)
+        y = _phase_conv(x, kt.astype(x.dtype), pad, strides)
         if bias is not None:
-            y = y + jnp.tile(bias, 4)
+            y = y + jnp.tile(bias, nph)
         if self.use_batchnorm:
             b_, h_, w_, _ = y.shape
-            y = BatchNorm(o, name="1")(y.reshape(b_, h_, w_, 4, o), train)
-            y = y.reshape(b_, h_, w_, 4 * o)
+            y = BatchNorm(o, name="1")(y.reshape(b_, h_, w_, nph, o), train)
+            y = y.reshape(b_, h_, w_, nph * o)
         return nn.relu(y)
 
 
@@ -139,23 +153,29 @@ class _S2DConvBnReLU(nn.Module):
 class S2DTailBlock(nn.Module):
     """The final (skip-less, attention-free) DecoderBlock computed in phase
     form: the 2x nearest-upsample never materializes and the thin full-res
-    convs become 4x-channel convs at half resolution (exact up to float
-    reassociation; see ops/fused_upsample.py transforms). Output stays in
-    phase form [B, h, w, 4*out_channels] for the (also phase-form)
-    segmentation head. Param tree identical to DecoderBlock."""
+    convs become packed-channel convs at reduced resolution (exact up to
+    float reassociation; see ops/fused_upsample.py transforms). Output stays
+    in phase form [B, H/fh, W/fw, fh*fw*out_channels] for the (also
+    phase-form) segmentation head. Param tree identical to DecoderBlock.
+
+    factors (4, 2) — the shipped form — adds a second H-only packing level:
+    conv1 consumes the coarse input with a strided 4-tap kernel (no fold
+    copy) and every tail conv runs with >=128 channels on the lane dim."""
 
     out_channels: int
     use_batchnorm: bool = True
+    factors: Tuple[int, int] = (4, 2)
 
     @nn.compact
     def __call__(self, x_coarse, train: bool = False):
+        up_mode = "up_h2" if self.factors == (4, 2) else "up"
         y = _S2DConvBnReLU(
             self.out_channels, x_coarse.shape[-1], self.use_batchnorm,
-            mode="up", name="conv1",
+            mode=up_mode, factors=self.factors, name="conv1",
         )(x_coarse, train)
         y = _S2DConvBnReLU(
             self.out_channels, self.out_channels, self.use_batchnorm,
-            mode="s2d", name="conv2",
+            mode="s2d", factors=self.factors, name="conv2",
         )(y, train)
         return y
 
@@ -238,9 +258,11 @@ class UnetDecoder(nn.Module):
     fused: bool = False  # exact fused upsample+concat+conv (ops/fused_upsample)
     remat: bool = False  # rematerialize blocks (see nn/resnet.py ResNet.remat)
     # compute the final block in space-to-depth phase form and return
-    # [B, H/2, W/2, 4*decoder_channels[-1]] — the segmentation head must then
-    # run with s2d_input=True (translation/unet.py coordinates this)
+    # [B, H/fh, W/fw, fh*fw*decoder_channels[-1]] — the segmentation head must
+    # then run with s2d_input=True and the same factors
+    # (translation/unet.py coordinates this)
     s2d_tail: bool = False
+    s2d_factors: Tuple[int, int] = (4, 2)
 
     @nn.compact
     def __call__(
@@ -275,6 +297,7 @@ class UnetDecoder(nn.Module):
                 return tail_cls(
                     out_channels=out_ch,
                     use_batchnorm=self.use_batchnorm,
+                    factors=self.s2d_factors,
                     name=f"block_{i}",
                 )(x, train)
             x = block_cls(

@@ -97,46 +97,86 @@ def upsample2_concat_conv3x3(
 # ---------------------------------------------------------------------------
 
 
+def phase_factors(phase_form) -> tuple:
+    """(fh, fw) of a phase-form flag: `True` means the legacy 2x2 form;
+    an (fh, fw) tuple passes through. Used by every phase-form consumer so
+    bool call sites keep working while the shipped tail uses (4, 2)."""
+    if phase_form is True:
+        return (2, 2)
+    fh, fw = phase_form
+    return (int(fh), int(fw))
+
+
+def phase_native_hw(images: jnp.ndarray, phase_form) -> tuple:
+    """Native (H, W) of a phase-form tensor [B, H/fh, W/fw, fh*fw*C]."""
+    fh, fw = phase_factors(phase_form)
+    return (fh * images.shape[1], fw * images.shape[2])
+
+
+def space_to_depth(x: jnp.ndarray, fh: int = 2, fw: int = 2) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/fh,W/fw,fh*fw*C], channel order (ry, rx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // fh, fh, w // fw, fw, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // fh, w // fw, fh * fw * c
+    )
+
+
+def depth_to_space(x: jnp.ndarray, fh: int = 2, fw: int = 2) -> jnp.ndarray:
+    """[B,h,w,fh*fw*C] (channel order (py, px, c)) -> [B,fh*h,fw*w,C]."""
+    b, h, w, cf = x.shape
+    c = cf // (fh * fw)
+    x = x.reshape(b, h, w, fh, fw, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, fh * h, fw * w, c)
+
+
 def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     """[B,H,W,C] -> [B,H/2,W/2,4C], channel order (ry, rx, c)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
+    return space_to_depth(x, 2, 2)
 
 
 def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
     """[B,h,w,4C] (channel order (py, px, c)) -> [B,2h,2w,C]."""
-    b, h, w, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, 2 * h, 2 * w, c)
+    return depth_to_space(x, 2, 2)
 
 
-def s2d_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
-    """[3,3,C,O] -> [3,3,4C,4O]: conv3x3(x) == D2S(conv3x3'(S2D(x))).
+def s2d_conv_kernel_f(k: jnp.ndarray, fh: int = 2, fw: int = 2) -> jnp.ndarray:
+    """[3,3,C,O] -> [3,3,fh*fw*C,fh*fw*O]:
+    conv3x3(x) == D2S(conv3x3'(S2D(x, fh, fw)), fh, fw) for any factors >= 2.
 
     W'[Dy,Dx,(ry,rx,c),(py,px,o)] = k[dy,dx,c,o] with
-    dy = 2(Dy-1)+ry-py+1 when in 0..2 (else 0), dx likewise."""
+    dy = fh*(Dy-1)+ry-py+1 when in 0..2 (else 0), dx with fw likewise.
+    The packed kernel stays 3x3 for any factor (|ry-py| <= fh-1 keeps the
+    native 3-tap window inside one packed-pixel neighborhood), and packed
+    zero-padding reproduces native zero-padding exactly (the only boundary
+    taps with nonzero weight map to native row/col -1 and H/W)."""
     import numpy as np
 
     c, o = k.shape[2], k.shape[3]
-    D = np.arange(3)[:, None, None]      # Dy/Dx
-    r = np.arange(2)[None, :, None]      # ry/rx
-    p = np.arange(2)[None, None, :]      # py/px
-    d = 2 * (D - 1) + r - p + 1          # [3,2,2]
-    valid = (d >= 0) & (d <= 2)
-    dsafe = np.clip(d, 0, 2)
-    # gather k over (dy, dx) -> [3,2,2, 3,2,2, C, O]
-    dy = dsafe[:, :, :, None, None, None]
-    dx = dsafe[None, None, None, :, :, :]
-    g = k[jnp.asarray(np.broadcast_to(dy, (3, 2, 2, 3, 2, 2))),
-          jnp.asarray(np.broadcast_to(dx, (3, 2, 2, 3, 2, 2)))]
-    m = valid[:, :, :, None, None, None] & valid[None, None, None]
+
+    def offsets(f):
+        D = np.arange(3)[:, None, None]       # packed tap
+        r = np.arange(f)[None, :, None]       # input phase
+        p = np.arange(f)[None, None, :]       # output phase
+        d = f * (D - 1) + r - p + 1           # native tap, [3,f,f]
+        return np.clip(d, 0, 2), (d >= 0) & (d <= 2)
+
+    dy, vy = offsets(fh)
+    dx, vx = offsets(fw)
+    shape = (3, fh, fh, 3, fw, fw)
+    g = k[jnp.asarray(np.broadcast_to(dy[:, :, :, None, None, None], shape)),
+          jnp.asarray(np.broadcast_to(dx[None, None, None, :, :, :], shape))]
+    m = vy[:, :, :, None, None, None] & vx[None, None, None]
     g = g * jnp.asarray(m[..., None, None], k.dtype)
-    # -> [Dy, Dx, ry, rx, C, py, px, O] -> [3,3,4C,4O]
+    # [Dy, ry, py, Dx, rx, px, C, O] -> [Dy, Dx, ry, rx, C, py, px, O]
     g = jnp.transpose(g, (0, 3, 1, 4, 6, 2, 5, 7))
-    return g.reshape(3, 3, 4 * c, 4 * o)
+    return g.reshape(3, 3, fh * fw * c, fh * fw * o)
+
+
+def s2d_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [3,3,4C,4O]: conv3x3(x) == D2S(conv3x3'(S2D(x)))."""
+    return s2d_conv_kernel_f(k, 2, 2)
 
 
 def up_phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
@@ -166,6 +206,34 @@ def up_phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
             cols.append(jnp.concatenate(phases, axis=-1))  # [c, 4o]
         rows.append(jnp.stack(cols, axis=0))
     return jnp.stack(rows, axis=0)  # [3,3,c,4o]
+
+
+def up_phase_h2_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [4,3,C,8O]: conv3x3(up2(x)) in H2 phase form, strided.
+
+    conv3x3(up2_nearest(x)) == D2S(conv'(x, strides=(2,1), pad=((1,1),(1,1))),
+    fh=4, fw=2) where x is the native coarse input [B,H,W,C] and the output
+    [B,H/2,W,8O] is the (4,2) phase form of the 2H x 2W result. Output packed
+    row I holds coarse rows 2I..2I+1 (hy) x native phases (py, px); the
+    H-taps are the up-phase pre-summed weights shifted by hy, giving a 4-tap
+    stride-2 kernel — the H2 tail consumes the producer's native output with
+    no fold copy. Channel order (hy, py, px, o) == ascending native y-phase
+    2*hy+py, matching s2d_conv_kernel_f's (4, 2) layout."""
+    c, o = k.shape[2], k.shape[3]
+    w3 = up_phase_conv_kernel(k)  # [3, 3, C, (py, px, o) = 4O]
+    rows = []
+    for t in range(4):
+        # t = hy + Dy with hy in {0,1}, Dy in {0,1,2}
+        parts = []
+        for hy in range(2):
+            dyi = t - hy
+            if 0 <= dyi <= 2:
+                parts.append(w3[dyi])  # [3, C, 4O]
+            else:
+                parts.append(jnp.zeros((3, c, 4 * o), k.dtype))
+        rows.append(jnp.stack(parts, axis=2))  # [3, C, hy=2, 4O]
+    out = jnp.stack(rows, axis=0)  # [4, 3, C, 2, 4O]
+    return out.reshape(4, 3, c, 8 * o)
 
 
 def s2d_stride2_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:

@@ -162,25 +162,36 @@ def minmax_normalize_image(images: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarr
     return (images - lo) / jnp.maximum(hi - lo, eps)
 
 
-def resize_bilinear_from_phase2(
-    x_ph: jnp.ndarray, out_hw: Tuple[int, int], dtype=None
+def resize_bilinear_from_phase(
+    x_ph: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    factors: Tuple[int, int] = (2, 2),
+    dtype=None,
 ) -> jnp.ndarray:
-    """resize_bilinear(depth_to_space2(x_ph), out_hw) without materializing
-    the full-resolution image: the interpolation matrices split by source
-    phase (Mh[:, py::2]) and contract the phase form directly. Exact (same
-    sums; used by the fused IR->RGB->detect pipeline to consume the U-Net's
-    space-to-depth tail output)."""
-    b, h2, w2, c4 = x_ph.shape
-    c = c4 // 4
-    h, w = 2 * h2, 2 * w2
+    """resize_bilinear(depth_to_space(x_ph, fh, fw), out_hw) without
+    materializing the full-resolution image: the interpolation matrices split
+    by source phase (Mh[:, py::fh]) and contract the phase form directly.
+    Exact (same sums; used by the fused IR->RGB->detect pipeline to consume
+    the U-Net's space-to-depth tail output)."""
+    fh, fw = factors
+    b, hp, wp, cf = x_ph.shape
+    c = cf // (fh * fw)
+    h, w = fh * hp, fw * wp
     oh, ow = out_hw
     compute_dtype = dtype or x_ph.dtype
     mh = jnp.asarray(_interp_matrix(h, oh), dtype=compute_dtype)  # [oh, h]
     mw = jnp.asarray(_interp_matrix(w, ow), dtype=compute_dtype)  # [ow, w]
-    mh_ph = mh.reshape(oh, h2, 2)  # [oh, h2, py]
-    mw_ph = mw.reshape(ow, w2, 2)  # [ow, w2, px]
-    x6 = x_ph.reshape(b, h2, w2, 2, 2, c).astype(compute_dtype)
+    mh_ph = mh.reshape(oh, hp, fh)  # [oh, hp, py]
+    mw_ph = mw.reshape(ow, wp, fw)  # [ow, wp, px]
+    x6 = x_ph.reshape(b, hp, wp, fh, fw, c).astype(compute_dtype)
     prec = jax.lax.Precision.HIGHEST
     y = jnp.einsum("bhwpqc,ohp->bowqc", x6, mh_ph, precision=prec)
     y = jnp.einsum("bowqc,vwq->bovc", y, mw_ph, precision=prec)
     return y
+
+
+def resize_bilinear_from_phase2(
+    x_ph: jnp.ndarray, out_hw: Tuple[int, int], dtype=None
+) -> jnp.ndarray:
+    """Legacy 2x2-phase wrapper of resize_bilinear_from_phase."""
+    return resize_bilinear_from_phase(x_ph, out_hw, (2, 2), dtype)

@@ -141,6 +141,9 @@ class HalluciDetModule:
         self.use_phase_handoff = (
             cfg.phase_handoff and phase_capable and not recon_active
         )
+        # (fh, fw) of the model's phase output — threaded to the detector so
+        # its transform consumes the right form (ops/fused_upsample.py)
+        self.phase_factors = tuple(getattr(model, "s2d_factors", (2, 2)))
         # On the handoff path the U-Net consumes the RAW 1-channel IR frame:
         # the ResNet stem folds its 3-channel kernel over the replicated
         # channels (exact — nn/resnet.py gray_fold), skipping the megapixel
@@ -235,7 +238,8 @@ class HalluciDetModule:
         det_frozen = det_params if unfreeze else jax.lax.stop_gradient(det_params)
         losses_det, det_hall = self.detector.calculate_loss(
             {"params": det_frozen}, hallucinated, targets_ir,
-            train_det=unfreeze and train, rng=rng, phase_form=phase,
+            train_det=unfreeze and train, rng=rng,
+            phase_form=self.phase_factors if phase else False,
         )
 
         name = self.detector.name
@@ -298,9 +302,9 @@ class HalluciDetModule:
         elif phase:
             # interleave the phase tensor back to the full-res image only
             # when a consumer (plotting, recon tests) asks for it
-            from hallucidet_tpu.ops.fused_upsample import depth_to_space2
+            from hallucidet_tpu.ops.fused_upsample import depth_to_space
 
-            hall_out = depth_to_space2(hallucinated)
+            hall_out = depth_to_space(hallucinated, *self.phase_factors)
         else:
             hall_out = hallucinated
         return total, new_bs, logs, (det_hall, det_rgb, det_ir), hall_out

@@ -8,7 +8,7 @@ encoder -> decoder -> segmentation head, with the static input-shape check
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,10 @@ class Unet(nn.Module):
     # exact (same sums, reassociated) and ~10x faster on TPU than XLA's
     # full-resolution thin-channel convs (see ops/fused_upsample.py).
     s2d_tail: bool = True
+    # phase-form packing factors (fh, fw). (4, 2) — an extra H-only level on
+    # top of the 2x2 form — puts >=128 channels on the TPU lane dim for the
+    # tail convs (PERF.md round 3); (2, 2) is the legacy form.
+    s2d_factors: Tuple[int, int] = (4, 2)
 
     def _check_input_shape(self, x: jnp.ndarray):
         h, w = x.shape[1:3]
@@ -77,6 +81,9 @@ class Unet(nn.Module):
         # and their compute is eliminated by XLA
         features = features[: self.encoder_depth + 1]
         s2d = self.s2d_tail and self.decoder_attention_type is None
+        # the (4,2) tail needs H divisible by 8 and W by 4 — guaranteed by
+        # _check_input_shape (2^encoder_depth >= 8 for depth in [3,5])
+        factors = self.s2d_factors
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,
             use_batchnorm=self.decoder_use_batchnorm,
@@ -85,12 +92,14 @@ class Unet(nn.Module):
             center=needs_center,  # VGG-family encoders use a center block
             remat=self.remat,
             s2d_tail=s2d,
+            s2d_factors=factors,
             name="decoder",
         )(features, train)
         masks = SegmentationHead(
             out_channels=self.classes,
             head=self.head,
             s2d_input=s2d,
+            s2d_factors=factors,
             name="segmentation_head",
         )(decoded, train, dropout_rng, keep_phase_form=output_phase_form and s2d)
         if self.aux_classes is not None:

@@ -13,10 +13,14 @@ import jax.numpy as jnp
 import pytest
 
 from hallucidet_tpu.ops.fused_upsample import (
+    depth_to_space,
     depth_to_space2,
     s2d_conv_kernel,
+    s2d_conv_kernel_f,
+    space_to_depth,
     space_to_depth2,
     up_phase_conv_kernel,
+    up_phase_h2_conv_kernel,
 )
 from hallucidet_tpu.ops.image_ops import upsample_nearest
 from hallucidet_tpu.translation.unet import Unet
@@ -49,6 +53,61 @@ def test_up_phase_conv_kernel_exact():
     k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
     ref = _conv(upsample_nearest(xc, 2), k)
     got = depth_to_space2(_conv(xc, up_phase_conv_kernel(k)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fh,fw", [(4, 2), (2, 4), (4, 4), (3, 2)])
+def test_s2d_round_trip_general(fh, fw):
+    x = jnp.arange(2 * 24 * 24 * 5, dtype=jnp.float32).reshape(2, 24, 24, 5)
+    np.testing.assert_array_equal(
+        depth_to_space(space_to_depth(x, fh, fw), fh, fw), x
+    )
+
+
+@pytest.mark.parametrize("fh,fw", [(4, 2), (2, 4), (4, 4)])
+def test_s2d_conv_kernel_f_exact(fh, fw):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = _conv(x, k)
+    got = depth_to_space(
+        _conv(space_to_depth(x, fh, fw), s2d_conv_kernel_f(k, fh, fw)), fh, fw
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_up_phase_h2_conv_kernel_exact():
+    """conv3x3(up2(x)) == D2S(conv'(x, strides=(2,1)), 4, 2) — the strided
+    4-tap H2 kernel consumes the coarse input with no fold copy."""
+    rng = np.random.RandomState(3)
+    xc = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = _conv(upsample_nearest(xc, 2), k)
+    dn = jax.lax.conv_dimension_numbers(
+        xc.shape, (4, 3, 5, 56), ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        xc, up_phase_h2_conv_kernel(k), (2, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn,
+    )
+    np.testing.assert_allclose(
+        depth_to_space(y, 4, 2), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("fh,fw", [(2, 2), (4, 2)])
+def test_resize_bilinear_from_phase_exact(fh, fw):
+    from hallucidet_tpu.ops.image_ops import (
+        resize_bilinear,
+        resize_bilinear_from_phase,
+    )
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 24, 3).astype(np.float32))
+    ref = resize_bilinear(x, (11, 13))
+    got = resize_bilinear_from_phase(
+        space_to_depth(x, fh, fw), (11, 13), (fh, fw)
+    )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -144,24 +203,27 @@ def test_s2d_tail_disabled_with_attention():
     assert y.shape == (1, 64, 64, 3)
 
 
-def test_phase_form_output_through_detector():
-    """unet(output_phase_form=True) -> detector(phase_form=True) must equal
-    the standard full-resolution path exactly (the fused-pipeline fast path
-    that skips the depth-to-space)."""
+@pytest.mark.parametrize("factors", [(2, 2), (4, 2)])
+def test_phase_form_output_through_detector(factors):
+    """unet(output_phase_form=True) -> detector(phase_form=factors) must
+    equal the standard full-resolution path exactly (the fused-pipeline fast
+    path that skips the depth-to-space), for both the legacy (2,2) form and
+    the shipped (4,2) H2 form."""
     from hallucidet_tpu.detection import (
         FasterRCNN,
         FasterRCNNConfig,
         pad_targets,
     )
 
-    m = Unet(encoder_name="resnet18", s2d_tail=True)
+    fh, fw = factors
+    m = Unet(encoder_name="resnet18", s2d_tail=True, s2d_factors=factors)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
 
     full = m.apply(v, x, False)
     ph = m.apply(v, x, False, output_phase_form=True)
-    assert ph.shape == (1, 32, 32, 12)
-    np.testing.assert_allclose(depth_to_space2(ph), full, atol=1e-6)
+    assert ph.shape == (1, 64 // fh, 64 // fw, fh * fw * 3)
+    np.testing.assert_allclose(depth_to_space(ph, fh, fw), full, atol=1e-6)
 
     cfg = FasterRCNNConfig(
         num_classes=2, backbone="resnet18",
@@ -176,7 +238,7 @@ def test_phase_form_output_through_detector():
     rng = jax.random.PRNGKey(3)
     losses_a, dets_a = det.forward(dv, full, t, train_det=False, rng=rng)
     losses_b, dets_b = det.forward(
-        dv, ph, t, train_det=False, rng=rng, phase_form=True
+        dv, ph, t, train_det=False, rng=rng, phase_form=factors
     )
     for k in losses_a:
         np.testing.assert_allclose(

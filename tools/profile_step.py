@@ -45,15 +45,17 @@ def main():
         # detector alone on a pre-made phase tensor (the handoff input)
         det = module.detector
         dv = module.det_variables
+        fh, fw = module.phase_factors
         phase = jax.random.uniform(
-            jax.random.PRNGKey(5), (batch, hw[0] // 2, hw[1] // 2, 12),
+            jax.random.PRNGKey(5),
+            (batch, hw[0] // fh, hw[1] // fw, 3 * fh * fw),
             jnp.float32,
         )
 
         def fn(variables, x, rng):
             losses, dets = det.calculate_loss(
                 variables, x, targets, train_det=False, rng=rng,
-                phase_form=True,
+                phase_form=module.phase_factors,
             )
             return losses, dets.scores
         step = jax.jit(fn)
