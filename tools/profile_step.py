@@ -17,9 +17,11 @@ from hallucidet_tpu.train import HalluciDetModule, HalluciDetTrainConfig
 
 
 def main():
+    import os
+
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_step"
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
-    batch = 8
+    batch = int(os.environ.get("B", "8"))
     hw = (1024, 1280)
 
     from hallucidet_tpu.train import auto_remat
