@@ -53,8 +53,13 @@ class DetectionTransform:
             h, w, c = fh * hp, fw * wp, cf // nph
             mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)
             std = self.image_std * (c if len(self.image_std) == 1 else 1)
-            out = normalize(images, mean * nph, std * nph)
-            out = resize_bilinear_from_phase(out, self.size, (fh, fw))
+            # resize first, normalize after: bilinear interp rows sum to 1,
+            # so normalize commutes with the resize (same result up to float
+            # reassociation) — the normalize pass then runs on the small
+            # fixed frame instead of the megapixel-equivalent phase tensor,
+            # and the U-Net head output feeds the resize einsum directly
+            out = resize_bilinear_from_phase(images, self.size, (fh, fw))
+            out = normalize(out, mean, std)
         else:
             _, h, w, c = images.shape
             mean = self.image_mean * (c if len(self.image_mean) == 1 else 1)

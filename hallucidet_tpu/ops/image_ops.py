@@ -136,7 +136,10 @@ def normalize(
     mean: Sequence[float],
     std: Sequence[float],
 ) -> jnp.ndarray:
-    """(img - mean) / std per channel, NHWC."""
+    """(img - mean) / std per channel, NHWC. A no-op when mean=0/std=1 (the
+    reference pins the detector transform there — skip the pass entirely)."""
+    if all(m == 0.0 for m in mean) and all(s == 1.0 for s in std):
+        return images
     mean_arr = jnp.asarray(mean, dtype=images.dtype)
     std_arr = jnp.asarray(std, dtype=images.dtype)
     return (images - mean_arr) / std_arr
@@ -178,7 +181,10 @@ def resize_bilinear_from_phase(
     c = cf // (fh * fw)
     h, w = fh * hp, fw * wp
     oh, ow = out_hw
-    compute_dtype = dtype or x_ph.dtype
+    # at least f32: a bf16 phase tensor is consumed directly (the per-element
+    # upconvert fuses into the einsum) but the interp weights and the
+    # accumulation stay f32 — exact vs converting the input up front
+    compute_dtype = dtype or jnp.promote_types(x_ph.dtype, jnp.float32)
     mh = jnp.asarray(_interp_matrix(h, oh), dtype=compute_dtype)  # [oh, h]
     mw = jnp.asarray(_interp_matrix(w, ow), dtype=compute_dtype)  # [ow, w]
     mh_ph = mh.reshape(oh, hp, fh)  # [oh, hp, py]

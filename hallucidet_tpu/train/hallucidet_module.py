@@ -216,7 +216,13 @@ class HalluciDetModule:
                 ed_vars, unet_in, False, **apply_kw
             )
             new_bs = ed_batch_stats
-        hallucinated = hallucinated.astype(jnp.float32)
+        if not phase:
+            hallucinated = hallucinated.astype(jnp.float32)
+        # on the phase path the tensor stays in the U-Net compute dtype: the
+        # detector transform's resize einsum upcasts per-element inside the
+        # contraction (exact — bf16->f32 conversion is lossless and the
+        # accumulation is f32 either way), skipping a full megapixel
+        # convert pass (ops/image_ops.resize_bilinear_from_phase)
 
         loss_pixel_rgb = loss_pixel_ir = 0.0
         loss_perc_rgb = loss_perc_ir = 0.0
@@ -304,7 +310,9 @@ class HalluciDetModule:
             # when a consumer (plotting, recon tests) asks for it
             from hallucidet_tpu.ops.fused_upsample import depth_to_space
 
-            hall_out = depth_to_space(hallucinated, *self.phase_factors)
+            hall_out = depth_to_space(
+                hallucinated.astype(jnp.float32), *self.phase_factors
+            )
         else:
             hall_out = hallucinated
         return total, new_bs, logs, (det_hall, det_rgb, det_ir), hall_out
