@@ -193,9 +193,11 @@ class DecoderBlock(nn.Module):
     skip_channels: int = 0
     use_batchnorm: bool = True
     attention_type: Optional[str] = None
-    # Exact fused phase-conv path exists (ops/fused_upsample.py) but measured
-    # slower than XLA's own fusion on v5e; off by default.
-    fused: bool = False
+    # conv1 as lhs-dilated up-conv + skip-conv (ops/fused_upsample.py): the
+    # 2x-upsampled concat intermediate never materializes. Exact; the earlier
+    # 4-phase+interleave formulation measured slower than XLA's own fusion,
+    # but the transposed-conv form beats it (PERF.md round 3).
+    fused: bool = True
 
     @nn.compact
     def __call__(
@@ -255,7 +257,7 @@ class UnetDecoder(nn.Module):
     attention_type: Optional[str] = None
     center: bool = False
     use_skips: bool = True  # False => UnetModified (skip connections removed)
-    fused: bool = False  # exact fused upsample+concat+conv (ops/fused_upsample)
+    fused: bool = True  # exact fused upsample+concat+conv (ops/fused_upsample)
     remat: bool = False  # rematerialize blocks (see nn/resnet.py ResNet.remat)
     # compute the final block in space-to-depth phase form and return
     # [B, H/fh, W/fw, fh*fw*decoder_channels[-1]] — the segmentation head must
