@@ -20,9 +20,14 @@ import jax
 
 from hallucidet_tpu.nn.layers import Attention, BatchNorm, ConvBnReLU
 from hallucidet_tpu.ops.fused_upsample import (
+    fold_h,
     s2d_conv_kernel_f,
+    s2d_skipfold_conv_kernel,
+    unfold_h,
+    up2_h1fold_conv_kernel,
     up_phase_conv_kernel,
     up_phase_h2_conv_kernel,
+    up_phase_h2_from_h4fold_kernel,
     upsample2_concat_conv3x3,
 )
 from hallucidet_tpu.ops.image_ops import upsample_nearest
@@ -75,7 +80,9 @@ def _fast_mode() -> bool:
     return prec not in ("highest", "float32")
 
 
-def _phase_conv(x, kernel, padding=((1, 1), (1, 1)), strides=(1, 1)):
+def _phase_conv(
+    x, kernel, padding=((1, 1), (1, 1)), strides=(1, 1), lhs_dilation=(1, 1)
+):
     """Conv used by the phase-form tail. The optimization barrier keeps XLA
     from mega-fusing it with the producer conv (measured 45 GF/ms fused vs
     ~2x better split); in fast mode (jax_default_matmul_precision not
@@ -90,7 +97,8 @@ def _phase_conv(x, kernel, padding=((1, 1), (1, 1)), strides=(1, 1)):
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
     out = jax.lax.conv_general_dilated(
-        x, kernel, strides, padding, dimension_numbers=dn
+        x, kernel, strides, padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=dn,
     )
     return out.astype(out_dtype)
 
@@ -109,10 +117,13 @@ class _S2DConvBnReLU(nn.Module):
     features: int
     in_channels: int
     use_batchnorm: bool = True
-    # 's2d':   x is aligned phase form [B,H/fh,W/fw,fh*fw*Cin]
-    # 'up':    x is coarse [B,h,w,Cin] -> (2,2) phase out (legacy tail)
-    # 'up_h2': x is coarse [B,h,w,Cin] -> (4,2) phase out via a strided
-    #          4-tap conv (no input fold copy)
+    # 's2d':      x is aligned phase form [B,H/fh,W/fw,fh*fw*Cin]
+    # 'up':       x is coarse [B,h,w,Cin] -> (2,2) phase out (legacy tail)
+    # 'up_h2':    x is coarse [B,h,w,Cin] -> (4,2) phase out via a strided
+    #             4-tap conv (no input fold copy)
+    # 'up_h2_f4': x is the producer's (4,1) H-FOLDED coarse output
+    #             [B,h/4,w,4Cin] -> (4,2) phase out via an H-lhs-dilated conv
+    #             (no unfold copy; HFoldMidBlock handoff)
     mode: str = "s2d"
     factors: Tuple[int, int] = (2, 2)
 
@@ -125,15 +136,22 @@ class _S2DConvBnReLU(nn.Module):
         )()
         fh, fw = self.factors
         nph = fh * fw
+        ld = (1, 1)
         if self.mode == "up":
             assert self.factors == (2, 2)
             kt, pad, strides = up_phase_conv_kernel(kernel), ((1, 1), (1, 1)), (1, 1)
         elif self.mode == "up_h2":
             assert self.factors == (4, 2)
             kt, pad, strides = up_phase_h2_conv_kernel(kernel), ((1, 1), (1, 1)), (2, 1)
+        elif self.mode == "up_h2_f4":
+            assert self.factors == (4, 2)
+            kt, pad, strides = (
+                up_phase_h2_from_h4fold_kernel(kernel), ((2, 2), (1, 1)), (1, 1),
+            )
+            ld = (2, 1)
         else:
             kt, pad, strides = s2d_conv_kernel_f(kernel, fh, fw), ((1, 1), (1, 1)), (1, 1)
-        y = _phase_conv(x, kt.astype(x.dtype), pad, strides)
+        y = _phase_conv(x, kt.astype(x.dtype), pad, strides, lhs_dilation=ld)
         if bias is not None:
             y = y + jnp.tile(bias, nph)
         if self.use_batchnorm:
@@ -148,6 +166,115 @@ class _S2DConvBnReLU(nn.Module):
 # measured NEUTRAL on v5e (127.0-127.2 vs 127.7 img/s): the conv gains
 # (block_3 conv1 4.2->2.0 ms) were eaten by the S2D(skip) + the phase->full
 # D2S handoff copy (~2 ms in-context). Removed; post-mortem in PERF.md.
+
+
+class _HFoldConvBnReLU(nn.Module):
+    """ConvBnReLU computed on an H-only (fold, 1) space-to-depth view:
+    fold_h -> packed conv (s2d_conv_kernel_f) -> BN/ReLU on the folded view
+    -> unfold_h. Exact up to float reassociation; param tree identical to
+    ConvBnReLU ('0' conv [3,3,Cin,O], '1' bn over O).
+
+    Purpose: the decoder's thin stride-1 conv2s (32-64 channels at half/
+    quarter resolution) run 10-20x off roofline because the channel (lane)
+    dim is under 128. Folding H by f puts f*C on the lane dim: the
+    [3,3,32,32]@[512,640] conv measured 31.6 -> 12.2 ms as
+    [3,3,128,128]@[128,640] (PERF.md round 3 probe). The fold/unfold are
+    reshape-transposes XLA fuses into the neighbor fusions' epilogues."""
+
+    features: int
+    in_channels: int
+    fold: int
+    use_batchnorm: bool = True
+    fold_input: bool = True    # False: x is already (fold,1)-H-folded
+    unfold_output: bool = True  # False: return the folded form
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        o = self.features
+        kernel, bias = ConvParams(
+            (3, 3, self.in_channels, o), use_bias=not self.use_batchnorm,
+            name="0",
+        )()
+        f = self.fold
+        kf = s2d_conv_kernel_f(kernel, f, 1)
+        y = fold_h(x, f) if self.fold_input else x
+        y = _phase_conv(y, kf.astype(y.dtype))
+        if bias is not None:
+            y = y + jnp.tile(bias, f)
+        if self.use_batchnorm:
+            b_, h_, w_, _ = y.shape
+            y = BatchNorm(o, name="1")(y.reshape(b_, h_, w_, f, o), train)
+            y = y.reshape(b_, h_, w_, f * o)
+        y = nn.relu(y)
+        return unfold_h(y, f) if self.unfold_output else y
+
+
+class _HFoldUpConvBnReLU(nn.Module):
+    """The fused upsample2+concat(skip)+conv3x3 (FusedUpConvBnReLU semantics)
+    emitting its output DIRECTLY in (fold,1) H-folded form — the up half as a
+    strided W-lhs-dilated conv on the coarse input (up2_h1fold_conv_kernel)
+    and the skip half as a stride-fold conv on the full-res skip
+    (s2d_skipfold_conv_kernel). No fold copy exists anywhere: both convs
+    write the folded layout natively. Param tree identical to
+    FusedUpConvBnReLU ('0' conv [3,3,Cu+Cs,O], '1' bn over O). Exact."""
+
+    features: int
+    fold: int
+    use_batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x_coarse, skip, train: bool = False):
+        o, f = self.features, self.fold
+        cu = x_coarse.shape[-1]
+        cin = cu + skip.shape[-1]
+        kernel, bias = ConvParams(
+            (3, 3, cin, o), use_bias=not self.use_batchnorm, name="0"
+        )()
+        ka = up2_h1fold_conv_kernel(kernel[:, :, :cu, :], f)
+        kb = s2d_skipfold_conv_kernel(kernel[:, :, cu:, :], f)
+        y = _phase_conv(
+            x_coarse, ka.astype(x_coarse.dtype),
+            padding=((1, 1), (2, 2)), strides=(f // 2, 1),
+            lhs_dilation=(1, 2),
+        )
+        y = y + _phase_conv(
+            skip, kb.astype(skip.dtype),
+            padding=((1, 1), (1, 1)), strides=(f, 1),
+        )
+        if bias is not None:
+            y = y + jnp.tile(bias, f)
+        if self.use_batchnorm:
+            b_, h_, w_, _ = y.shape
+            y = BatchNorm(o, name="1")(y.reshape(b_, h_, w_, f, o), train)
+            y = y.reshape(b_, h_, w_, f * o)
+        return nn.relu(y)
+
+
+class HFoldMidBlock(nn.Module):
+    """A skip-carrying DecoderBlock computed end-to-end in (fold,1) H-folded
+    form: conv1 emits the folded layout natively (_HFoldUpConvBnReLU), conv2
+    runs packed (s2d_conv_kernel_f(·, fold, 1)), and the output either
+    unfolds (unfold_out=True) or stays folded for a fold-aware consumer
+    (the S2DTailBlock's up_phase_h2_from_h4fold_kernel path). The fold puts
+    fold*out_channels on the TPU's 128-wide lane dim — the thin half/quarter
+    resolution decoder convs run 10-20x off roofline unfolded (PERF.md
+    round 3). Param tree identical to DecoderBlock. Exact."""
+
+    out_channels: int
+    fold: int
+    use_batchnorm: bool = True
+    unfold_out: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        y = _HFoldUpConvBnReLU(
+            self.out_channels, self.fold, self.use_batchnorm, name="conv1"
+        )(x, skip, train)
+        return _HFoldConvBnReLU(
+            self.out_channels, self.out_channels, self.fold,
+            use_batchnorm=self.use_batchnorm,
+            fold_input=False, unfold_output=self.unfold_out, name="conv2",
+        )(y, train)
 
 
 class S2DTailBlock(nn.Module):
@@ -165,12 +292,19 @@ class S2DTailBlock(nn.Module):
     out_channels: int
     use_batchnorm: bool = True
     factors: Tuple[int, int] = (4, 2)
+    input_fold: int = 1  # 4: x_coarse is the producer's (4,1) H-folded form
 
     @nn.compact
     def __call__(self, x_coarse, train: bool = False):
-        up_mode = "up_h2" if self.factors == (4, 2) else "up"
+        if self.input_fold == 4:
+            assert self.factors == (4, 2)
+            up_mode = "up_h2_f4"
+            cin = x_coarse.shape[-1] // 4
+        else:
+            up_mode = "up_h2" if self.factors == (4, 2) else "up"
+            cin = x_coarse.shape[-1]
         y = _S2DConvBnReLU(
-            self.out_channels, x_coarse.shape[-1], self.use_batchnorm,
+            self.out_channels, cin, self.use_batchnorm,
             mode=up_mode, factors=self.factors, name="conv1",
         )(x_coarse, train)
         y = _S2DConvBnReLU(
@@ -178,6 +312,19 @@ class S2DTailBlock(nn.Module):
             mode="s2d", factors=self.factors, name="conv2",
         )(y, train)
         return y
+
+
+def _h_fold_factor(x_shape, out_channels: int) -> int:
+    """Fold factor for a decoder conv2: fill the 128-wide lane dim
+    (128 // C), but only when H divides evenly and the folded H keeps >= 8
+    sublane rows. Returns 1 (no fold) when the conv is already lane-healthy."""
+    if out_channels >= 128 or x_shape[-1] >= 128:
+        return 1
+    f = 128 // max(out_channels, x_shape[-1])
+    h = x_shape[1]
+    while f > 1 and (h % f != 0 or h // f < 8):
+        f //= 2
+    return f
 
 
 class DecoderBlock(nn.Module):
@@ -198,6 +345,12 @@ class DecoderBlock(nn.Module):
     # 4-phase+interleave formulation measured slower than XLA's own fusion,
     # but the transposed-conv form beats it (PERF.md round 3).
     fused: bool = True
+    # conv2 on an H-folded view when out_channels < 128 (lane-starved).
+    # Exact (_HFoldConvBnReLU); param tree unchanged. Default OFF: the
+    # explicit fold/unfold copies measured ~43 ms/step of XLA layout
+    # artifacts at batch 64 — the copy-free HFoldMidBlock (UnetDecoder
+    # routing) is the shipped form; this flag remains for experiments.
+    h_fold: bool = False
 
     @nn.compact
     def __call__(
@@ -220,9 +373,16 @@ class DecoderBlock(nn.Module):
             x = ConvBnReLU(
                 self.out_channels, use_batchnorm=self.use_batchnorm, name="conv1"
             )(x, train)
-        x = ConvBnReLU(
-            self.out_channels, use_batchnorm=self.use_batchnorm, name="conv2"
-        )(x, train)
+        f = _h_fold_factor(x.shape, self.out_channels) if self.h_fold else 1
+        if f > 1:
+            x = _HFoldConvBnReLU(
+                self.out_channels, x.shape[-1], f,
+                use_batchnorm=self.use_batchnorm, name="conv2",
+            )(x, train)
+        else:
+            x = ConvBnReLU(
+                self.out_channels, use_batchnorm=self.use_batchnorm, name="conv2"
+            )(x, train)
         x = Attention(
             self.attention_type, in_channels=self.out_channels, name="attention2"
         )(x)
@@ -258,6 +418,10 @@ class UnetDecoder(nn.Module):
     center: bool = False
     use_skips: bool = True  # False => UnetModified (skip connections removed)
     fused: bool = True  # exact fused upsample+concat+conv (ops/fused_upsample)
+    # route lane-starved skip blocks (out_ch < 128) through the copy-free
+    # H-folded HFoldMidBlock; when the next block is the (4,2) tail, the
+    # (4,1)-folded form is handed off without ever unfolding
+    h_fold: bool = True
     remat: bool = False  # rematerialize blocks (see nn/resnet.py ResNet.remat)
     # compute the final block in space-to-depth phase form and return
     # [B, H/fh, W/fw, fh*fw*decoder_channels[-1]] — the segmentation head must
@@ -283,6 +447,7 @@ class UnetDecoder(nn.Module):
             else DecoderBlock
         )
         last = len(self.decoder_channels) - 1
+        x_fold = 1  # current H-fold factor of x (HFoldMidBlock handoff)
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if (self.use_skips and i < len(skips)) else None
             if (
@@ -300,8 +465,39 @@ class UnetDecoder(nn.Module):
                     out_channels=out_ch,
                     use_batchnorm=self.use_batchnorm,
                     factors=self.s2d_factors,
+                    input_fold=x_fold,
                     name=f"block_{i}",
                 )(x, train)
+            assert x_fold == 1
+            f = self._mid_fold(x, skip, out_ch)
+            if f > 1:
+                # keep the fold through the tail handoff when the NEXT block
+                # is the (4,2) S2DTailBlock and this block emits a (4,1) fold
+                next_skip = (
+                    skips[i + 1] if (self.use_skips and i + 1 < len(skips)) else None
+                )
+                keep = (
+                    f == 4
+                    and self.s2d_tail
+                    and i == last - 1
+                    and next_skip is None
+                    and self.attention_type is None
+                    and self.s2d_factors == (4, 2)
+                )
+                mid_cls = (
+                    nn.remat(HFoldMidBlock, static_argnums=(3,))
+                    if self.remat
+                    else HFoldMidBlock
+                )
+                x = mid_cls(
+                    out_channels=out_ch,
+                    fold=f,
+                    use_batchnorm=self.use_batchnorm,
+                    unfold_out=not keep,
+                    name=f"block_{i}",
+                )(x, skip, train)
+                x_fold = f if keep else 1
+                continue
             x = block_cls(
                 out_channels=out_ch,
                 skip_channels=0 if skip is None else skip.shape[-1],
@@ -311,3 +507,28 @@ class UnetDecoder(nn.Module):
                 name=f"block_{i}",
             )(x, skip, train)
         return x
+
+    def _mid_fold(self, x, skip, out_ch: int) -> int:
+        """Fold factor for a skip-carrying decoder block: fill the 128-wide
+        lane dim (128 // out_ch in {2, 4}) when shapes divide evenly; 1 (no
+        fold) otherwise or when the block is already lane-healthy."""
+        if (
+            not self.h_fold
+            or not self.fused
+            or self.attention_type is not None
+            or skip is None
+            or out_ch >= 128
+        ):
+            return 1
+        f = 128 // out_ch
+        if f not in (2, 4):
+            return 1
+        h_out = 2 * x.shape[1]
+        if (
+            skip.shape[1] != h_out
+            or skip.shape[2] != 2 * x.shape[2]
+            or h_out % f != 0
+            or h_out // f < 8
+        ):
+            return 1
+        return f

@@ -170,6 +170,98 @@ def s2d_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return s2d_conv_kernel_f(k, 2, 2)
 
 
+def up2_h1fold_conv_kernel(k: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[3,3,C,O] -> [f//2+2, 4, C, f*O]: conv3x3(nearest_up2(x)) emitted
+    DIRECTLY in (f,1) H-folded form from the coarse input — one conv with
+    strides (f//2, 1), lhs_dilation (1, 2), padding ((1, 1), (2, 2)).
+
+    Folded output row i packs full-res rows f*i+py (py in 0..f-1); the
+    full-res conv's H-taps k[dy] land on coarse rows 2i*(f//2) + (py+dy-1)//2,
+    giving f//2+2 strided taps; the W side is the standard up2 4-tap
+    lhs-dilated combine (up2_conv_kernel4 cols). Output channel order (py, o)
+    matches fold_h / s2d_conv_kernel_f(·, f, 1). Exact."""
+    c, o = k.shape[2], k.shape[3]
+    n_t = f // 2 + 2
+    # cols4[tx][dy] : the up2 W-combine per original H-tap dy
+    cols4 = [k[:, 0], k[:, 0] + k[:, 1], k[:, 1] + k[:, 2], k[:, 2]]  # [3,C,O]
+    taps = []
+    for T in range(n_t):
+        phases = []
+        for py in range(f):
+            acc = None
+            for dy in range(3):
+                if (py + dy - 1) // 2 == T - 1:
+                    w = jnp.stack([cols4[tx][dy] for tx in range(4)], axis=0)
+                    acc = w if acc is None else acc + w
+            phases.append(
+                acc if acc is not None else jnp.zeros((4, c, o), k.dtype)
+            )
+        t = jnp.stack(phases, axis=0)  # [f, 4, C, O]
+        taps.append(jnp.transpose(t, (1, 2, 0, 3)).reshape(4, c, f * o))
+    return jnp.stack(taps, axis=0)  # [n_t, 4, C, f*O]
+
+
+def s2d_skipfold_conv_kernel(ks: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[3,3,Cs,O] -> [f+2, 3, Cs, f*O]: conv3x3(skip) emitted in (f,1)
+    H-folded form from the FULL-resolution skip — one conv with
+    strides (f, 1), padding ((1, 1), (1, 1)).
+
+    Folded output row i packs full rows f*i+py; tap T reads full row
+    f*i-1+T, carrying ks[T-py] for each phase py with 0 <= T-py <= 2.
+    Output channel order (py, o). Exact."""
+    c, o = ks.shape[2], ks.shape[3]
+    taps = []
+    for T in range(f + 2):
+        phases = []
+        for py in range(f):
+            dy = T - py
+            phases.append(
+                ks[dy] if 0 <= dy <= 2 else jnp.zeros((3, c, o), ks.dtype)
+            )
+        t = jnp.stack(phases, axis=0)  # [f, 3, C, O]
+        taps.append(jnp.transpose(t, (1, 2, 0, 3)).reshape(3, c, f * o))
+    return jnp.stack(taps, axis=0)  # [f+2, 3, C, f*O]
+
+
+def up_phase_h2_from_h4fold_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [4,3,4C,8O]: the H2-tail conv1 (up_phase_h2_conv_kernel
+    semantics) consuming its producer's (4,1) H-FOLDED output directly —
+    lhs_dilation (2, 1), strides (1, 1), padding ((2, 2), (1, 1)).
+
+    With the folded input row m sitting at dilated position 2m, even output
+    rows I=2m' activate taps T in {0,2} (folded rows m'-1, m') and odd rows
+    T in {1,3} (m', m'+1); inactive taps read inserted zeros. Input channel
+    order (q, c) where q is the producer's fold phase. Exact."""
+    kh = up_phase_h2_conv_kernel(k)  # [4,3,C,8O], taps over coarse 2I+t-1
+    c, o8 = kh.shape[2], kh.shape[3]
+    z = jnp.zeros((3, c, o8), k.dtype)
+    rows = [
+        jnp.stack([z, z, z, kh[0]], axis=1),          # T=0: row m'-1 (even I)
+        jnp.stack([z, kh[0], kh[1], kh[2]], axis=1),  # T=1: row m' (odd I)
+        jnp.stack([kh[1], kh[2], kh[3], z], axis=1),  # T=2: row m' (even I)
+        jnp.stack([kh[3], z, z, z], axis=1),          # T=3: row m'+1 (odd I)
+    ]
+    out = jnp.stack(rows, axis=0)  # [T=4, dx=3, q=4, C, 8O]
+    return out.reshape(4, 3, 4 * c, o8)
+
+
+def fold_h(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/f,W,f*C], channel order (ry, c) — the (f, 1)
+    space-to-depth fold consumed by s2d_conv_kernel_f(k, f, 1). A pure
+    reshape-transpose; XLA typically fuses it into the producer's epilogue."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, h // f, w, f * c)
+
+
+def unfold_h(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of fold_h: [B,h,W,f*C] -> [B,f*h,W,C]."""
+    b, h, w, fc = x.shape
+    c = fc // f
+    x = x.reshape(b, h, w, f, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, f * h, w, c)
+
+
 def up_phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """[3,3,C,O] -> [3,3,C,4O]: conv3x3(up2(x)) == D2S(conv3x3'(x)).
 

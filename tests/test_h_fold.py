@@ -1,0 +1,139 @@
+"""Exactness of the H-folded decoder mid-blocks (ops/fused_upsample
+up2_h1fold_conv_kernel / s2d_skipfold_conv_kernel /
+up_phase_h2_from_h4fold_kernel; nn/unet_decoder HFoldMidBlock routing).
+
+The lane-starved skip blocks (out_ch < 128) run with H folded into channels
+— produced and consumed natively by conv kernels, no fold/unfold copies.
+All forms must equal the plain DecoderBlock path up to float reassociation.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hallucidet_tpu.nn.unet_decoder import (
+    DecoderBlock,
+    HFoldMidBlock,
+    S2DTailBlock,
+    UnetDecoder,
+)
+from hallucidet_tpu.ops.fused_upsample import fold_h, unfold_h
+
+
+def _rel(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+
+
+@pytest.mark.parametrize("fold,cu,cs,o", [(2, 128, 64, 64), (4, 64, 64, 32)])
+def test_hfold_mid_block_matches_decoder_block(fold, cu, cs, o):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 10, cu), jnp.float32)
+    skip = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 20, cs), jnp.float32)
+    ref = DecoderBlock(out_channels=o, skip_channels=cs, fused=True)
+    var = ref.init(key, x, skip, False)
+    want = ref.apply(var, x, skip, False)
+    got = HFoldMidBlock(out_channels=o, fold=fold).apply(var, x, skip, False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        HFoldMidBlock(out_channels=o, fold=fold).init(key, x, skip, False)
+    )
+    assert _rel(want, got) < 1e-5
+
+
+def test_hfold_mid_block_folded_output():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 10, 64), jnp.float32)
+    skip = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 20, 64), jnp.float32)
+    ref = DecoderBlock(out_channels=32, skip_channels=64, fused=True)
+    var = ref.init(key, x, skip, False)
+    want = ref.apply(var, x, skip, False)
+    got = HFoldMidBlock(out_channels=32, fold=4, unfold_out=False).apply(
+        var, x, skip, False
+    )
+    assert got.shape == (2, 8, 20, 128)
+    assert _rel(want, unfold_h(got, 4)) < 1e-5
+
+
+def test_tail_consumes_h4_fold():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 10, 32), jnp.float32)
+    a = S2DTailBlock(out_channels=16, factors=(4, 2), input_fold=1)
+    var = a.init(key, x, False)
+    want = a.apply(var, x, False)
+    got = S2DTailBlock(out_channels=16, factors=(4, 2), input_fold=4).apply(
+        var, fold_h(x, 4), False
+    )
+    assert _rel(want, got) < 1e-5
+
+
+def _feats():
+    shapes = [
+        (2, 128, 64, 3), (2, 64, 32, 64), (2, 32, 16, 64),
+        (2, 16, 8, 128), (2, 8, 4, 256), (2, 4, 2, 512),
+    ]
+    return [
+        jax.random.normal(jax.random.PRNGKey(i), s, jnp.float32)
+        for i, s in enumerate(shapes)
+    ]
+
+
+def test_unet_decoder_h_fold_exact_fwd_and_grads():
+    feats = _feats()
+    key = jax.random.PRNGKey(0)
+    dec_a = UnetDecoder(h_fold=False)
+    dec_b = UnetDecoder(h_fold=True)
+    var = dec_a.init(key, feats, False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        dec_b.init(key, feats, False)
+    )
+    out_a = dec_a.apply(var, feats, False)
+    out_b = dec_b.apply(var, feats, False)
+    assert _rel(out_a, out_b) < 1e-5
+
+    def loss(dec):
+        def f(p, bs):
+            out, _ = dec.apply(
+                {"params": p, "batch_stats": bs}, feats, True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+        return f
+
+    ga = jax.grad(loss(dec_a))(var["params"], var["batch_stats"])
+    gb = jax.grad(loss(dec_b))(var["params"], var["batch_stats"])
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)),
+        ga, gb,
+    )
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-4
+
+
+def test_unet_decoder_h_fold_with_s2d_tail_handoff():
+    """The full fast path: block_3 emits a (4,1) fold consumed natively by
+    the (4,2) S2DTailBlock — output must match the no-fold s2d_tail path."""
+    feats = _feats()
+    key = jax.random.PRNGKey(0)
+    dec_a = UnetDecoder(h_fold=False, s2d_tail=True, s2d_factors=(4, 2))
+    dec_b = UnetDecoder(h_fold=True, s2d_tail=True, s2d_factors=(4, 2))
+    var = dec_a.init(key, feats, False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        dec_b.init(key, feats, False)
+    )
+    out_a = dec_a.apply(var, feats, False)
+    out_b = dec_b.apply(var, feats, False)
+    assert out_a.shape == out_b.shape  # both (4,2) phase form
+    assert _rel(out_a, out_b) < 1e-5
+
+
+def test_mid_fold_skips_indivisible_shapes():
+    """Odd geometries fall back to the plain DecoderBlock path (no crash)."""
+    shapes = [
+        (1, 36, 20, 3), (1, 18, 10, 64), (1, 9, 5, 64),
+    ]
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(i), s, jnp.float32)
+        for i, s in enumerate(shapes)
+    ]
+    dec = UnetDecoder(decoder_channels=(64, 32), h_fold=True)
+    var = dec.init(jax.random.PRNGKey(0), feats, False)
+    out = dec.apply(var, feats, False)
+    assert out.shape[1:3] == (36, 20)
