@@ -25,6 +25,7 @@ from hallucidet_tpu.ops.fused_upsample import (
     s2d_skipfold_conv_kernel,
     unfold_h,
     up2_h1fold_conv_kernel,
+    up2_h1fold_from_h1fold_conv_kernel,
     up_phase_conv_kernel,
     up_phase_h2_conv_kernel,
     up_phase_h2_from_h4fold_kernel,
@@ -221,22 +222,32 @@ class _HFoldUpConvBnReLU(nn.Module):
     features: int
     fold: int
     use_batchnorm: bool = True
+    input_fold: int = 1  # f//2: x_coarse is the producer's (f//2,1) fold
 
     @nn.compact
     def __call__(self, x_coarse, skip, train: bool = False):
         o, f = self.features, self.fold
-        cu = x_coarse.shape[-1]
+        cu = x_coarse.shape[-1] // self.input_fold
         cin = cu + skip.shape[-1]
         kernel, bias = ConvParams(
             (3, 3, cin, o), use_bias=not self.use_batchnorm, name="0"
         )()
-        ka = up2_h1fold_conv_kernel(kernel[:, :, :cu, :], f)
         kb = s2d_skipfold_conv_kernel(kernel[:, :, cu:, :], f)
-        y = _phase_conv(
-            x_coarse, ka.astype(x_coarse.dtype),
-            padding=((1, 1), (2, 2)), strides=(f // 2, 1),
-            lhs_dilation=(1, 2),
-        )
+        if self.input_fold > 1:
+            assert self.input_fold == f // 2
+            ka = up2_h1fold_from_h1fold_conv_kernel(kernel[:, :, :cu, :], f)
+            y = _phase_conv(
+                x_coarse, ka.astype(x_coarse.dtype),
+                padding=((1, 1), (2, 2)), strides=(1, 1),
+                lhs_dilation=(1, 2),
+            )
+        else:
+            ka = up2_h1fold_conv_kernel(kernel[:, :, :cu, :], f)
+            y = _phase_conv(
+                x_coarse, ka.astype(x_coarse.dtype),
+                padding=((1, 1), (2, 2)), strides=(f // 2, 1),
+                lhs_dilation=(1, 2),
+            )
         y = y + _phase_conv(
             skip, kb.astype(skip.dtype),
             padding=((1, 1), (1, 1)), strides=(f, 1),
@@ -264,11 +275,13 @@ class HFoldMidBlock(nn.Module):
     fold: int
     use_batchnorm: bool = True
     unfold_out: bool = True
+    input_fold: int = 1  # fold//2: x is the producer's (fold//2,1) fold
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         y = _HFoldUpConvBnReLU(
-            self.out_channels, self.fold, self.use_batchnorm, name="conv1"
+            self.out_channels, self.fold, self.use_batchnorm,
+            input_fold=self.input_fold, name="conv1",
         )(x, skip, train)
         return _HFoldConvBnReLU(
             self.out_channels, self.out_channels, self.fold,
@@ -468,22 +481,26 @@ class UnetDecoder(nn.Module):
                     input_fold=x_fold,
                     name=f"block_{i}",
                 )(x, train)
-            assert x_fold == 1
-            f = self._mid_fold(x, skip, out_ch)
+            h_nat, w_nat = x.shape[1] * x_fold, x.shape[2]
+            f = self._mid_fold(h_nat, w_nat, skip, out_ch)
             if f > 1:
-                # keep the fold through the tail handoff when the NEXT block
-                # is the (4,2) S2DTailBlock and this block emits a (4,1) fold
+                # keep the fold through the handoff when the NEXT consumer
+                # reads it natively: the (4,2) S2DTailBlock takes a (4,1)
+                # fold; a following HFoldMidBlock with fold 2f takes an
+                # (f,1) fold (up2_h1fold_from_h1fold_conv_kernel).
                 next_skip = (
                     skips[i + 1] if (self.use_skips and i + 1 < len(skips)) else None
                 )
-                keep = (
-                    f == 4
-                    and self.s2d_tail
-                    and i == last - 1
-                    and next_skip is None
-                    and self.attention_type is None
-                    and self.s2d_factors == (4, 2)
-                )
+                if i == last - 1 and self.s2d_tail and next_skip is None:
+                    keep = f == 4 and self.s2d_factors == (4, 2)
+                elif i < last:
+                    f_next = self._mid_fold(
+                        2 * h_nat, 2 * w_nat, next_skip,
+                        self.decoder_channels[i + 1],
+                    )
+                    keep = f_next == 2 * f and f_next == 4
+                else:
+                    keep = False
                 mid_cls = (
                     nn.remat(HFoldMidBlock, static_argnums=(3,))
                     if self.remat
@@ -494,10 +511,12 @@ class UnetDecoder(nn.Module):
                     fold=f,
                     use_batchnorm=self.use_batchnorm,
                     unfold_out=not keep,
+                    input_fold=x_fold,
                     name=f"block_{i}",
                 )(x, skip, train)
                 x_fold = f if keep else 1
                 continue
+            assert x_fold == 1
             x = block_cls(
                 out_channels=out_ch,
                 skip_channels=0 if skip is None else skip.shape[-1],
@@ -508,10 +527,11 @@ class UnetDecoder(nn.Module):
             )(x, skip, train)
         return x
 
-    def _mid_fold(self, x, skip, out_ch: int) -> int:
-        """Fold factor for a skip-carrying decoder block: fill the 128-wide
-        lane dim (128 // out_ch in {2, 4}) when shapes divide evenly; 1 (no
-        fold) otherwise or when the block is already lane-healthy."""
+    def _mid_fold(self, h_nat: int, w_nat: int, skip, out_ch: int) -> int:
+        """Fold factor for a skip-carrying decoder block with native input
+        size (h_nat, w_nat): fill the 128-wide lane dim (128 // out_ch in
+        {2, 4}) when shapes divide evenly; 1 (no fold) otherwise or when the
+        block is already lane-healthy."""
         if (
             not self.h_fold
             or not self.fused
@@ -523,10 +543,10 @@ class UnetDecoder(nn.Module):
         f = 128 // out_ch
         if f not in (2, 4):
             return 1
-        h_out = 2 * x.shape[1]
+        h_out = 2 * h_nat
         if (
             skip.shape[1] != h_out
-            or skip.shape[2] != 2 * x.shape[2]
+            or skip.shape[2] != 2 * w_nat
             or h_out % f != 0
             or h_out // f < 8
         ):

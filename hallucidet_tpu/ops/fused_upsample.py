@@ -201,6 +201,42 @@ def up2_h1fold_conv_kernel(k: jnp.ndarray, f: int) -> jnp.ndarray:
     return jnp.stack(taps, axis=0)  # [n_t, 4, C, f*O]
 
 
+def up2_h1fold_from_h1fold_conv_kernel(k: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[3,3,C,O] -> [3, 4, (f//2)*C, f*O]: the up half of an (f,1)-H-folded
+    decoder conv1 consuming the PRODUCER'S (f//2,1)-H-folded coarse output
+    directly — strides (1,1), lhs_dilation (1,2), padding ((1,1),(2,2)).
+
+    Full-res output row f*i+py reads coarse rows 2i+s with s=(py+dy-1)//2;
+    coarse row 2i+s sits at folded-coarse (i + s//2, phase s%2), giving a
+    3-tap stride-1 kernel over the folded coarse rows. Input channel order
+    (q, c); output (py, o). Exact. Implemented for f=4 (the 64->32 channel
+    chain of the resnet-family decoder)."""
+    assert f == 4, "derived for the (2,1)->(4,1) fold chain"
+    c, o = k.shape[2], k.shape[3]
+    cols4 = [k[:, 0], k[:, 0] + k[:, 1], k[:, 1] + k[:, 2], k[:, 2]]
+    f_in = f // 2
+    taps = []
+    for T in range(3):
+        qs = []
+        for q in range(f_in):
+            phases = []
+            for py in range(f):
+                acc = None
+                for dy in range(3):
+                    s = (py + dy - 1) // 2
+                    if (s // 2, s % 2) == (T - 1, q):
+                        w = jnp.stack([cols4[tx][dy] for tx in range(4)], axis=0)
+                        acc = w if acc is None else acc + w
+                phases.append(
+                    acc if acc is not None else jnp.zeros((4, c, o), k.dtype)
+                )
+            qs.append(jnp.stack(phases, axis=0))  # [f, 4, C, O]
+        t = jnp.stack(qs, axis=0)  # [q, py, Tx, C, O]
+        t = jnp.transpose(t, (2, 0, 3, 1, 4))  # [Tx, q, C, py, O]
+        taps.append(t.reshape(4, f_in * c, f * o))
+    return jnp.stack(taps, axis=0)  # [3, 4, f_in*C, f*O]
+
+
 def s2d_skipfold_conv_kernel(ks: jnp.ndarray, f: int) -> jnp.ndarray:
     """[3,3,Cs,O] -> [f+2, 3, Cs, f*O]: conv3x3(skip) emitted in (f,1)
     H-folded form from the FULL-resolution skip — one conv with
