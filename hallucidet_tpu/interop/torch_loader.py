@@ -160,16 +160,85 @@ def _leaf_transform(path: List[str], leaf_name: str, value_shape) -> str:
     return "none"
 
 
+def _flax_key(
+    mod_path: List[str],
+    leaf_name: str,
+    prefix: str,
+    detector: Optional[str],
+    fcos_gn: bool,
+    encoder_name: Optional[str],
+    encoder_root: Optional[str],
+) -> Tuple[str, Optional[str]]:
+    """(torch key, special) for one flax leaf. Encoder subtrees route
+    through the family-aware map (interop/encoder_keymap.py) so the emitted
+    keys match the REAL upstream layouts (torchvision / pretrainedmodels /
+    efficientnet-pytorch / timm / vendored MiT) rather than the generic
+    name_N -> name.N heuristic. `special` marks value-level transforms
+    (MiT's fused kv linear)."""
+    special = None
+    if encoder_name is not None:
+        from hallucidet_tpu.interop.encoder_keymap import (
+            encoder_segments_to_torch,
+            has_family_mapping,
+        )
+
+        def strip_wrapper(segs):
+            # the flax BatchNorm WRAPPER's inner nn.BatchNorm is named "bn"
+            # and is always the last module segment; strip only that — real
+            # torch modules named `bn` exist (pretrainedmodels BnActConv2d /
+            # BasicConv2d children).
+            return segs[:-1] if segs and segs[-1] == "bn" else segs
+
+        if has_family_mapping(encoder_name):
+            if encoder_root is None:
+                tpath, special = encoder_segments_to_torch(
+                    encoder_name, strip_wrapper(mod_path)
+                )
+                return (
+                    prefix + tpath + "." + _PARAM_SUFFIX.get(leaf_name, leaf_name),
+                    special,
+                )
+            if mod_path and mod_path[0] == encoder_root:
+                sub = strip_wrapper(mod_path[1:])
+                tpath, special = encoder_segments_to_torch(encoder_name, sub)
+                return (
+                    prefix
+                    + encoder_root
+                    + "."
+                    + tpath
+                    + "."
+                    + _PARAM_SUFFIX.get(leaf_name, leaf_name),
+                    special,
+                )
+    return (
+        prefix
+        + _segments_to_torch(mod_path, detector, fcos_gn)
+        + "."
+        + _PARAM_SUFFIX.get(leaf_name, leaf_name),
+        special,
+    )
+
+
+def _kv_slice(t: np.ndarray, special: str) -> np.ndarray:
+    """Row-slice of the fused MiT kv tensor for our separate k/v modules."""
+    d = t.shape[0] // 2
+    return t[:d] if special == "kv_k" else t[d:]
+
+
 def convert_into_variables(
     variables: Dict[str, Any],
     torch_sd: Dict[str, np.ndarray],
     prefix: str = "",
     detector: Optional[str] = None,
+    encoder_name: Optional[str] = None,
+    encoder_root: Optional[str] = "encoder",
 ) -> Tuple[Dict[str, Any], List[str], List[str]]:
     """Fill a Flax variable tree from a torch state dict.
 
     Returns (new_variables, loaded_keys, missing_torch_keys). strict=False:
-    leaves without a matching torch tensor keep their current value.
+    leaves without a matching torch tensor keep their current value. When
+    `encoder_name` is given, leaves under `encoder_root` (or the whole tree
+    if encoder_root is None) use the family-aware upstream key map.
     """
     import jax
 
@@ -184,14 +253,14 @@ def convert_into_variables(
             segs = [p.key for p in kp]
             leaf_name = segs[-1]
             mod_path = segs[:-1]
-            torch_key = (
-                prefix
-                + _segments_to_torch(mod_path, detector, fcos_gn)
-                + "."
-                + _PARAM_SUFFIX.get(leaf_name, leaf_name)
+            torch_key, special = _flax_key(
+                mod_path, leaf_name, prefix, detector, fcos_gn,
+                encoder_name, encoder_root,
             )
             if torch_key in torch_sd:
                 t = torch_sd[torch_key]
+                if special in ("kv_k", "kv_v"):
+                    t = _kv_slice(t, special)
                 tf = _leaf_transform(mod_path, leaf_name, np.shape(t))
                 if tf == "conv":
                     t = conv_kernel(t)
@@ -271,7 +340,9 @@ def load_encoder_decoder_variables(
         if any(k.startswith(("encoder.", "decoder.", "segmentation_head.")) for k in candidate):
             sd = candidate
             break
-    new_vars, loaded, missing = convert_into_variables(dict(variables), sd)
+    new_vars, loaded, missing = convert_into_variables(
+        dict(variables), sd, encoder_name=encoder_name
+    )
     if not loaded:
         raise ValueError(f"no encoder-decoder weights matched in {path}")
     return new_vars
@@ -281,25 +352,28 @@ def synthesize_torch_state_dict(
     variables: Dict[str, Any],
     prefix: str = "",
     detector: Optional[str] = None,
+    encoder_name: Optional[str] = None,
+    encoder_root: Optional[str] = "encoder",
 ) -> Dict[str, np.ndarray]:
     """Inverse of `convert_into_variables`, for exercising the full
     converter->eval chain without real torch checkpoints (zero-egress smoke;
-    scripts/parity_llvip.py --smoke): emits a torch-layout state dict whose
+    scripts/parity_llvip.py --smoke) and for proving the key map total per
+    encoder family (tests/test_interop_zoo.py): emits a torch-layout state
+    dict — real upstream key names when `encoder_name` is given — whose
     conversion reproduces `variables` bit-exactly."""
     import jax
 
     fcos_gn = detector == "fcos"
     sd: Dict[str, np.ndarray] = {}
+    kv_halves: Dict[str, Dict[str, np.ndarray]] = {}
     for collection, tree in variables.items():
         for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             segs = [p.key for p in kp]
             leaf_name = segs[-1]
             mod_path = segs[:-1]
-            torch_key = (
-                prefix
-                + _segments_to_torch(mod_path, detector, fcos_gn)
-                + "."
-                + _PARAM_SUFFIX.get(leaf_name, leaf_name)
+            torch_key, special = _flax_key(
+                mod_path, leaf_name, prefix, detector, fcos_gn,
+                encoder_name, encoder_root,
             )
             w = np.asarray(leaf)
             if leaf_name == "kernel":
@@ -313,7 +387,13 @@ def synthesize_torch_state_dict(
                     w = np.transpose(w4, (0, 3, 1, 2)).reshape(out_f, in_f)
                 else:
                     w = np.transpose(w, (1, 0))
-            sd[torch_key] = w
+            if special in ("kv_k", "kv_v"):
+                kv_halves.setdefault(torch_key, {})[special] = w
+            else:
+                sd[torch_key] = w
+    for torch_key, halves in kv_halves.items():
+        # fused MiT kv linear: torch rows are [k-rows; v-rows]
+        sd[torch_key] = np.concatenate([halves["kv_k"], halves["kv_v"]], axis=0)
     return sd
 
 
@@ -349,3 +429,51 @@ def patch_first_conv(params, new_in_channels: int, first_conv_path=("encoder", "
         return out
 
     return replace(params, list(first_conv_path), new_kernel)
+
+
+def load_encoder_npz(path: str):
+    """Load a scripts/convert_encoder.py artifact -> encoder variables dict
+    ({"params": ..., "batch_stats": ...} as present). The npz stores flax
+    tree paths joined with "/" and values already in flax layout."""
+    data = np.load(path)
+    tree: Dict[str, Any] = {}
+    for key in data.files:
+        if key.startswith("__meta__"):
+            continue
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
+def merge_encoder_variables(variables: Dict[str, Any], encoder_vars: Dict[str, Any],
+                            encoder_root: str = "encoder") -> Dict[str, Any]:
+    """Replace the `encoder_root` subtree of a model's variables with
+    converted pretrained weights (shape-checked leaf-for-leaf)."""
+    import jax
+
+    out = {}
+    for collection, tree in variables.items():
+        sub = encoder_vars.get(collection)
+        if sub is None or encoder_root not in tree:
+            out[collection] = tree
+            continue
+        cur = tree[encoder_root]
+        ref_leaves = jax.tree_util.tree_flatten_with_path(cur)[0]
+        new_leaves = dict(
+            ("/".join(p.key for p in kp), leaf)
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]
+        )
+        for kp, leaf in ref_leaves:
+            key = "/".join(p.key for p in kp)
+            if key not in new_leaves:
+                raise ValueError(f"pretrained encoder npz is missing {key}")
+            if tuple(np.shape(new_leaves[key])) != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"pretrained encoder shape mismatch at {key}: "
+                    f"{np.shape(new_leaves[key])} vs {np.shape(leaf)}"
+                )
+        out[collection] = {**tree, encoder_root: sub}
+    return out

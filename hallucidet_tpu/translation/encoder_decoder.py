@@ -96,13 +96,34 @@ class EncoderDecoder:
             head=segmentation_head,
             **depth_kw,
         )
-        # encoder_weights='imagenet' requires a converted torch checkpoint in
-        # this zero-egress environment; loading happens via interop.
+        # The reference's encoder_weights='imagenet' downloads upstream
+        # checkpoints at construction (encoders/__init__.py:62-85). Zero-
+        # egress equivalent: a path to a scripts/convert_encoder.py .npz
+        # artifact, merged into the init tree below; the literal string
+        # 'imagenet' raises with instructions rather than silently running
+        # random weights.
         self.encoder_weights = encoder_weights
+        self.encoder_name = name
 
     def init(self, rng: jax.Array, sample_hw: Tuple[int, int] = (512, 640)):
         x = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)
-        return self.module.init(rng, x, False)
+        variables = self.module.init(rng, x, False)
+        if self.encoder_weights:
+            if not str(self.encoder_weights).endswith(".npz"):
+                raise ValueError(
+                    "encoder_weights must be a scripts/convert_encoder.py "
+                    ".npz artifact in this zero-egress build (got "
+                    f"{self.encoder_weights!r}); convert the upstream "
+                    "checkpoint offline first"
+                )
+            from hallucidet_tpu.interop import (
+                load_encoder_npz, merge_encoder_variables,
+            )
+
+            variables = merge_encoder_variables(
+                dict(variables), load_encoder_npz(self.encoder_weights)
+            )
+        return variables
 
     def apply(self, variables, images, train: bool = False, rngs=None, **kw):
         return self.module.apply(
