@@ -110,13 +110,17 @@ def main():
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * iters / dt
 
-    # Analytic speed-of-light: dominant conv FLOPs of U-Net(resnet34 @ 1024x
-    # 1280) + detector (R50-FPN @ 300x300) against the chip's peak.
-    unet_gflop = 230.0  # resnet34 encoder+unet decoder @ 1024x1280, ~per image
-    det_gflop = 45.0  # r50-fpn + rpn + roi heads @ 300x300
-    total_flop = (unet_gflop + det_gflop) * 1e9
-    peak = 197e12  # v5e bf16 peak FLOPs/s
-    sol_imgs_per_sec = peak / total_flop
+    # Analytic speed-of-light: canonical conv/matmul FLOPs of the product
+    # step, accounted per layer in hallucidet_tpu/utils/flops.py (auditable:
+    # `python tools/sol_accounting.py` prints the per-stage table). 361.3
+    # GFLOP/img at this geometry; supersedes the round<=3 hand estimate of
+    # 275 (which undercounted the encoder).
+    from hallucidet_tpu.utils.flops import (
+        V5E_BF16_PEAK, product_step_gflops_per_image,
+    )
+
+    total_flop = product_step_gflops_per_image(hw) * 1e9
+    sol_imgs_per_sec = V5E_BF16_PEAK / total_flop
 
     print(
         json.dumps(
@@ -127,7 +131,7 @@ def main():
                 "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
                 "batch": batch,
                 "dtype": "bfloat16",
-                "note": "measured through HalluciDetModule.make_eval_step (the product pipeline); reference publishes no throughput; vs_baseline = fraction of analytic conv-FLOP speed-of-light on this chip",
+                "note": "measured through HalluciDetModule.make_eval_step (the product pipeline); reference publishes no throughput; vs_baseline = fraction of analytic conv-FLOP speed-of-light on this chip (per-layer accounting: hallucidet_tpu/utils/flops.py, table via tools/sol_accounting.py)",
             }
         )
     )

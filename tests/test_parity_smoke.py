@@ -26,3 +26,21 @@ def test_parity_llvip_smoke(tmp_path):
         sys.path.remove(SCRIPTS)
 
     assert parity_llvip.run_smoke(str(tmp_path)) == 0
+
+
+def test_host_checklist_smoke_metrics_and_lpips():
+    """The non-eval legs of scripts/host_checklist.py (VERDICT r3 next #8):
+    the mAP-conformance fixture and the LPIPS-converter surface. The ap50 leg
+    is test_parity_llvip_smoke above (same run_smoke call)."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import host_checklist
+
+        class Args:
+            smoke = True
+            lpips_net = "alex"
+
+        assert host_checklist.check_map_conformance(Args())["status"] == "PASS"
+        assert host_checklist.check_lpips(Args())["status"] == "PASS"
+    finally:
+        sys.path.remove(SCRIPTS)

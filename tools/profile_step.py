@@ -85,12 +85,36 @@ def main():
                   module.opt_state)
         step = train_step
         args = lambda i: (tstate, data, jax.random.fold_in(jax.random.PRNGKey(1), i))
+    elif mode == "serving":
+        # the bench.py serving path: detections-only infer(fast=True)
+        det = module.detector
+        dv = module.det_variables
+
+        def fn(st, batch_, rng):
+            ed_params, ed_bs = st
+            _, _, ir_, _ = batch_
+            ed_vars = jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.bfloat16),
+                {"params": ed_params, "batch_stats": ed_bs},
+            )
+            hall = module.encoder_decoder.apply(
+                ed_vars, ir_.astype(jnp.bfloat16), False, output_phase_form=True
+            ).astype(jnp.float32)
+            dets = det.predict(
+                dv, hall, phase_form=module.phase_factors, fast=True
+            )
+            return jnp.sum(dets.scores)
+        step = jax.jit(fn)
+        pstate = module.precast_eval_state(state)
+        args = lambda i: (pstate, data, jax.random.fold_in(jax.random.PRNGKey(1), i))
     else:
         eval_step = jax.jit(
             module.make_eval_step(with_baselines=False, with_hallucinated=False)
         )
         step = eval_step
-        args = lambda i: (state, data, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        # pre-cast params exactly as bench.py / the product eval loop do
+        pstate = module.precast_eval_state(state)
+        args = lambda i: (pstate, data, jax.random.fold_in(jax.random.PRNGKey(1), i))
 
     # compile + settle
     out = step(*args(0))
