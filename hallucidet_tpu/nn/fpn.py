@@ -27,14 +27,43 @@ def _nearest_idx(in_size: int, out_size: int) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _take_rows(x: jnp.ndarray, idx: np.ndarray, axis: int) -> jnp.ndarray:
+    """Static-index row select that never lowers to a serial gather.
+
+    jnp.take with a constant index vector lowers on TPU to a while loop of
+    per-row dynamic-slices (measured ~4.5 ms/step at batch 64 inside the FPN
+    top-down path, PERF.md round 4). Every legacy-nearest upsample this FPN
+    performs (in -> 2*in or 2*in-1: 38->75, 19->38, 10->19) satisfies
+    floor(i*in/out) == floor(i/2), so it is exactly repeat-2-then-crop — a
+    broadcast+reshape+slice XLA vectorizes. Anything else falls back to a
+    one-hot einsum (an MXU matmul, still loop-free)."""
+    n = x.shape[axis]
+    out = len(idx)
+    rep2 = np.minimum(np.arange(out) // 2, n - 1)
+    if np.array_equal(idx, rep2):
+        shape = list(x.shape)
+        expanded = jnp.broadcast_to(
+            jnp.expand_dims(x, axis + 1),
+            shape[: axis + 1] + [2] + shape[axis + 1 :],
+        )
+        shape[axis] = 2 * n
+        x2 = expanded.reshape(shape)
+        import jax.lax as lax
+
+        return lax.slice_in_dim(x2, 0, out, axis=axis)
+    onehot = jnp.asarray(np.eye(n, dtype=np.float32)[idx], x.dtype)  # [out, n]
+    moved = jnp.moveaxis(x, axis, -1)
+    return jnp.moveaxis(moved @ onehot.T, -1, axis)
+
+
 def nearest_resize(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """NHWC nearest resize to arbitrary size (static shapes)."""
     _, h, w, _ = x.shape
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    x = jnp.take(x, jnp.asarray(_nearest_idx(h, oh)), axis=1)
-    x = jnp.take(x, jnp.asarray(_nearest_idx(w, ow)), axis=2)
+    x = _take_rows(x, _nearest_idx(h, oh), axis=1)
+    x = _take_rows(x, _nearest_idx(w, ow), axis=2)
     return x
 
 

@@ -57,6 +57,55 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class HFoldBasicBlock(nn.Module):
+    """BasicBlock computed on the (fold, 1) H-folded view: both 3x3 convs run
+    as [3,3,fold*C,fold*C] packed convs (s2d_conv_kernel_f), BN normalizes the
+    fold axis reshaped out (exact stats — the fold positions partition H), and
+    the residual add/relu stay in folded space. Param tree identical to
+    BasicBlock (conv1/bn1/conv2/bn2).
+
+    Purpose: layer1's Cin=64 convs fill only half the MXU's 128 lanes (the
+    round-4 b64 trace: 41 ms/step at 56 GF/ms; the folded kernel class probes
+    at 191 GF/ms, PERF.md). Stride-1, no-downsample blocks only (all of
+    resnet18/34 layer1)."""
+
+    planes: int
+    fold: int = 2
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x_f: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from hallucidet_tpu.ops.fused_upsample import s2d_conv_kernel_f
+
+        f, p = self.fold, self.planes
+        k1, _ = ConvParams((3, 3, p, p), use_bias=False, name="conv1")()
+        k2, _ = ConvParams((3, 3, p, p), use_bias=False, name="conv2")()
+
+        def bn(name, y):
+            b_, h_, w_, _ = y.shape
+            y5 = y.reshape(b_, h_, w_, f, p)
+            y5 = _apply_norm(_norm(self.frozen_bn, p, name), y5, train)
+            return y5.reshape(b_, h_, w_, f * p)
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            x_f, s2d_conv_kernel_f(k1, f, 1).astype(x_f.dtype), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x_f.shape, (3, 3, f * p, f * p), dn
+            ),
+        )
+        out = nn.relu(bn("bn1", out))
+        out = jax.lax.conv_general_dilated(
+            out, s2d_conv_kernel_f(k2, f, 1).astype(out.dtype), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                out.shape, (3, 3, f * p, f * p), dn
+            ),
+        )
+        return nn.relu(bn("bn2", out) + x_f)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -159,6 +208,17 @@ class ResNet(nn.Module):
     # expand (the HalluciDet IR path). True-1-channel-native params come
     # from interop.patch_first_conv instead; set gray_fold=False to opt out.
     gray_fold: bool = True
+    # run layer1's BasicBlocks on the (2,1) H-folded view (HFoldBasicBlock).
+    # Cin=64 fills only half the MXU lanes; folded [3,3,128,128] blocks run
+    # 13.65 -> 10.58 ms each (146 GF/ms raw, 73 effective after the 2x
+    # structured-zero kernel inflation). Measured NEUTRAL-to-negative end to
+    # end at batch 64 (198.7 vs 200.9 img/s): the entry fold copy (~3.4 ms)
+    # plus a duplicated first-block fusion eat the ~9 ms conv win — same
+    # verdict as the round-3 attempt (PERF.md). Default OFF; kept (exactness-
+    # tested, param-tree identical) for a future copy-free chained entry
+    # (maxpool emitting the folded form natively). BasicBlock archs with even
+    # layer1 height only.
+    h_fold_layer1: bool = False
 
     @nn.compact
     def __call__(
@@ -214,6 +274,29 @@ class ResNet(nn.Module):
             if li + 1 > dilate_from:  # this layer trades stride for dilation
                 dilation *= stride
                 stride = 1
+            if (
+                li == 1
+                and self.h_fold_layer1
+                and block_cls is BasicBlock
+                and out.shape[1] % 2 == 0
+            ):
+                from hallucidet_tpu.ops.fused_upsample import fold_h, unfold_h
+
+                out = fold_h(out, 2)
+                for bi in range(n_blocks):
+                    cls = (
+                        nn.remat(HFoldBasicBlock, static_argnums=(2,))
+                        if self.remat
+                        else HFoldBasicBlock
+                    )
+                    out = cls(
+                        planes=planes, fold=2, frozen_bn=self.frozen_bn,
+                        name=f"layer1_{bi}",
+                    )(out, train)
+                out = unfold_h(out, 2)
+                features.append(out)
+                planes *= 2
+                continue
             for bi in range(n_blocks):
                 # downsample when the block changes stride or channel count
                 needs_ds = bi == 0 and (

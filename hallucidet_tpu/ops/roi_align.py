@@ -250,5 +250,14 @@ def multiscale_roi_align(
     rows = jnp.einsum("nyh,hwc->nywc", wy, f_cat)  # [N, OH, w_max, C]
     if _fast_mode():
         rows = rows.astype(jnp.bfloat16)
+    # Both einsum passes are HBM-bandwidth-bound on the [N, OH, w_max, C]
+    # intermediate (8.8 GB bf16 at batch 64 / 512 RoIs): pass 1 writes it at
+    # ~15.1 ms/step and this pass reads it at ~13.7 ms/step vs a ~10.7 ms
+    # one-way traffic floor on v5e. Restating the column pass as an explicit
+    # dot_general (batch n only, y in the rhs-free dims) lowers to the SAME
+    # broadcast-multiply-reduce fusion at the same cost (round-4 negative
+    # probe, PERF.md) — the MXU never sees it either way because the per-RoI
+    # matmuls are tiny; the binding constraint is the intermediate's traffic,
+    # which is set by w_max (= the 75-wide stride-4 FPN level).
     out = jnp.einsum("nxw,nywc->nyxc", wx.astype(rows.dtype), rows)
     return out.astype(features[0].dtype)

@@ -137,3 +137,63 @@ def test_mid_fold_skips_indivisible_shapes():
     var = dec.init(jax.random.PRNGKey(0), feats, False)
     out = dec.apply(var, feats, False)
     assert out.shape[1:3] == (36, 20)
+
+
+def test_encoder_layer1_h_fold_exact_fwd_stats_grads():
+    """ResNet(h_fold_layer1=True) must match the plain encoder bit-for-bit in
+    tree structure and to float-reassociation tolerance in outputs, train-mode
+    batch stats, and grads (VERDICT r4: lane-bound layer1, PERF.md round 4)."""
+    from hallucidet_tpu.nn.resnet import ResNet
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 96, 3), jnp.float32)
+    enc_a = ResNet(arch="resnet34", h_fold_layer1=False)
+    enc_b = ResNet(arch="resnet34", h_fold_layer1=True)
+    var = enc_a.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        enc_b.init(jax.random.PRNGKey(0), x, False)
+    )
+    fa = enc_a.apply(var, x, False)
+    fb = enc_b.apply(var, x, False)
+    for a, b in zip(fa, fb):
+        assert _rel(a, b) < 1e-5
+
+    def loss(enc):
+        def f(p, bs):
+            feats, upd = enc.apply(
+                {"params": p, "batch_stats": bs}, x, True,
+                mutable=["batch_stats"],
+            )
+            # loss on the layer1 output: layer1 grads compare directly,
+            # without downstream relu-gate flips amplifying the fold's
+            # ~1e-6 reassociation noise through layers 2-4
+            return jnp.sum(feats[2] ** 2), upd
+        return f
+
+    (la, ua), ga = jax.value_and_grad(loss(enc_a), has_aux=True)(
+        var["params"], var["batch_stats"]
+    )
+    (lb, ub), gb = jax.value_and_grad(loss(enc_b), has_aux=True)(
+        var["params"], var["batch_stats"]
+    )
+    assert _rel(la, lb) < 1e-5
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(ua), jax.tree_util.tree_leaves(ub)
+    ):
+        assert _rel(pa, pb) < 1e-4  # exact stats: fold positions partition H
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)),
+        ga, gb,
+    )
+    for key in ("conv1", "layer1_0", "layer1_1", "layer1_2"):
+        assert max(jax.tree_util.tree_leaves(rel[key])) < 1e-4, (key, rel[key])
+
+
+def test_encoder_layer1_h_fold_skips_odd_height():
+    from hallucidet_tpu.nn.resnet import ResNet
+
+    # layer1 height 75 (stem 150 -> maxpool 75): fold must be skipped
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 300, 64, 3), jnp.float32)
+    enc = ResNet(arch="resnet18", h_fold_layer1=True)
+    var = enc.init(jax.random.PRNGKey(0), x, False)
+    feats = enc.apply(var, x, False)
+    assert feats[2].shape == (1, 75, 16, 64)

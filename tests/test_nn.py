@@ -82,6 +82,28 @@ def test_fpn_shapes_pool_and_p6p7():
     ]
 
 
+def test_nearest_resize_matches_take_oracle():
+    """Loop-free nearest resize (repeat-2-crop / one-hot einsum, PERF.md r4)
+    must be bit-exact vs the jnp.take reference on the FPN's actual upsample
+    sizes (2*in and 2*in-1) AND on a non-repeat-2 ratio (one-hot path)."""
+    from hallucidet_tpu.nn.fpn import _nearest_idx, nearest_resize
+
+    rng = jax.random.PRNGKey(7)
+    for (h, w), (oh, ow) in [
+        ((38, 38), (75, 75)),  # 2*in-1: repeat-2-crop path
+        ((19, 19), (38, 38)),  # exact 2x
+        ((10, 10), (19, 19)),
+        ((10, 12), (25, 30)),  # ratio > 2: one-hot einsum path
+        ((9, 7), (13, 20)),  # non-integer ratios
+    ]:
+        x = jax.random.normal(rng, (2, h, w, 5), jnp.float32)
+        got = nearest_resize(x, (oh, ow))
+        want = jnp.take(x, jnp.asarray(_nearest_idx(h, oh)), axis=1)
+        want = jnp.take(want, jnp.asarray(_nearest_idx(w, ow)), axis=2)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_unet_output_range_and_shape():
     m = create_model("unet", encoder_name="resnet18", classes=3)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 96, 3))
