@@ -106,6 +106,54 @@ class HFoldBasicBlock(nn.Module):
         return nn.relu(bn("bn2", out) + x_f)
 
 
+class FoldConsumeBasicBlock(nn.Module):
+    """The stride-2 + downsample BasicBlock (layer2_0) consuming its
+    producer's (2,1) H-FOLDED output directly: conv1 runs with a
+    fold2_stride2_consume_kernel ([2,3,2C,O], strides (1,2)) and the 1x1
+    downsample with fold2_stride2_consume_1x1_kernel — both read the folded
+    layout natively, so the folded-layer1 chain needs no unfold copy. The
+    block's OUTPUT is ordinary (layer2 geometry); bn1/conv2/bn2 are standard.
+    Param tree identical to BasicBlock(stride=2, downsample=True)."""
+
+    planes: int
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x_f: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from hallucidet_tpu.ops.fused_upsample import (
+            fold2_stride2_consume_1x1_kernel,
+            fold2_stride2_consume_kernel,
+        )
+
+        p = self.planes
+        c_in = x_f.shape[-1] // 2
+        k1, _ = ConvParams((3, 3, c_in, p), use_bias=False, name="conv1")()
+        kd, _ = ConvParams((1, 1, c_in, p), use_bias=False, name="downsample_0")()
+
+        def fconv(x, kt, pad, strides):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kt.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                x, kt.astype(x.dtype), strides, pad, dimension_numbers=dn
+            )
+
+        out = fconv(
+            x_f, fold2_stride2_consume_kernel(k1), ((1, 0), (1, 1)), (1, 2)
+        )
+        out = _apply_norm(_norm(self.frozen_bn, p, "bn1"), out, train)
+        out = nn.relu(out)
+        out = conv(p, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = _apply_norm(_norm(self.frozen_bn, p, "bn2"), out, train)
+        identity = fconv(
+            x_f, fold2_stride2_consume_1x1_kernel(kd), ((0, 0), (0, 0)), (1, 2)
+        )
+        identity = _apply_norm(
+            _norm(self.frozen_bn, p, "downsample_1"), identity, train
+        )
+        return nn.relu(out + identity)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -208,16 +256,18 @@ class ResNet(nn.Module):
     # expand (the HalluciDet IR path). True-1-channel-native params come
     # from interop.patch_first_conv instead; set gray_fold=False to opt out.
     gray_fold: bool = True
-    # run layer1's BasicBlocks on the (2,1) H-folded view (HFoldBasicBlock).
-    # Cin=64 fills only half the MXU lanes; folded [3,3,128,128] blocks run
-    # 13.65 -> 10.58 ms each (146 GF/ms raw, 73 effective after the 2x
-    # structured-zero kernel inflation). Measured NEUTRAL-to-negative end to
-    # end at batch 64 (198.7 vs 200.9 img/s): the entry fold copy (~3.4 ms)
-    # plus a duplicated first-block fusion eat the ~9 ms conv win — same
-    # verdict as the round-3 attempt (PERF.md). Default OFF; kept (exactness-
-    # tested, param-tree identical) for a future copy-free chained entry
-    # (maxpool emitting the folded form natively). BasicBlock archs with even
-    # layer1 height only.
+    # run layer1's BasicBlocks on the (2,1) H-folded view as a COPY-FREE
+    # chain: the stem maxpool emits the folded layout natively
+    # (max_pool3x3s2_fold2), layer1 runs as HFoldBasicBlocks, and layer2_0
+    # consumes the folded output directly (FoldConsumeBasicBlock) — no
+    # fold/unfold copy anywhere. The layer1 FEATURE in the returned list is
+    # then (2,1)-H-FOLDED [B, H/8, W/4, 128]; callers must either consume it
+    # fold-aware (UnetDecoder skip_folds) or unfold_h it. Earlier fold
+    # attempts with explicit fold/unfold copies at the boundary measured
+    # neutral-to-negative (PERF.md rounds 3-4); the copy-free chain is the
+    # only winning form. BasicBlock archs at output_stride 32 with
+    # stem-height % 4 == 0 only; OFF by default (translation/unet.py opts
+    # the product U-Net in and coordinates the decoder).
     h_fold_layer1: bool = False
 
     @nn.compact
@@ -264,9 +314,20 @@ class ResNet(nn.Module):
         out = nn.relu(out)
         features.append(out)
 
-        out = nn.max_pool(
-            out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        fold_l1 = (
+            self.h_fold_layer1
+            and block_cls is BasicBlock
+            and dilate_from == 5  # layer2 keeps its stride (no dilation)
+            and out.shape[1] % 4 == 0  # folded maxpool needs stem H % 4
         )
+        if fold_l1:
+            from hallucidet_tpu.ops.fused_upsample import max_pool3x3s2_fold2
+
+            out = max_pool3x3s2_fold2(out)
+        else:
+            out = nn.max_pool(
+                out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
         planes = 64
         dilation = 1
         for li, n_blocks in enumerate(layer_sizes, start=1):
@@ -274,15 +335,7 @@ class ResNet(nn.Module):
             if li + 1 > dilate_from:  # this layer trades stride for dilation
                 dilation *= stride
                 stride = 1
-            if (
-                li == 1
-                and self.h_fold_layer1
-                and block_cls is BasicBlock
-                and out.shape[1] % 2 == 0
-            ):
-                from hallucidet_tpu.ops.fused_upsample import fold_h, unfold_h
-
-                out = fold_h(out, 2)
+            if li == 1 and fold_l1:
                 for bi in range(n_blocks):
                     cls = (
                         nn.remat(HFoldBasicBlock, static_argnums=(2,))
@@ -293,7 +346,31 @@ class ResNet(nn.Module):
                         planes=planes, fold=2, frozen_bn=self.frozen_bn,
                         name=f"layer1_{bi}",
                     )(out, train)
-                out = unfold_h(out, 2)
+                features.append(out)  # (2,1)-H-FOLDED (see h_fold_layer1)
+                planes *= 2
+                continue
+            if li == 2 and fold_l1:
+                # layer2_0 consumes the folded layer1 natively; the rest of
+                # layer2 is ordinary
+                cls0 = (
+                    nn.remat(FoldConsumeBasicBlock, static_argnums=(2,))
+                    if self.remat
+                    else FoldConsumeBasicBlock
+                )
+                out = cls0(
+                    planes=planes, frozen_bn=self.frozen_bn, name="layer2_0"
+                )(out, train)
+                for bi in range(1, n_blocks):
+                    cls = (
+                        nn.remat(block_cls, static_argnums=(2,))
+                        if self.remat
+                        else block_cls
+                    )
+                    out = cls(
+                        planes=planes, stride=1, downsample=False,
+                        frozen_bn=self.frozen_bn, dilation=dilation,
+                        name=f"layer2_{bi}",
+                    )(out, train)
                 features.append(out)
                 planes *= 2
                 continue
@@ -326,6 +403,19 @@ class ResNet(nn.Module):
             features.append(out)
             planes *= 2
         return features
+
+
+def layer1_fold_factor(arch: str, input_h: int, output_stride: int = 32) -> int:
+    """The (static) H-fold factor ResNet(h_fold_layer1=True) will apply to
+    its layer1 feature for this geometry — 2 when the copy-free folded chain
+    engages (BasicBlock arch, output_stride 32, stem height % 4 == 0), else
+    1. Mirrors the trace-time condition in ResNet.__call__ so coordinators
+    (translation/unet.py) can size the decoder's skip_folds."""
+    spec = RESNET_SPECS.get(arch)
+    if spec is None or spec[0] is not BasicBlock or output_stride != 32:
+        return 1
+    stem_h = (input_h + 1) // 2  # 7x7/s2/p3 output height
+    return 2 if stem_h % 4 == 0 else 1
 
 
 def encoder_out_channels(arch: str) -> Tuple[int, ...]:

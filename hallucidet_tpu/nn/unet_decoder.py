@@ -223,16 +223,28 @@ class _HFoldUpConvBnReLU(nn.Module):
     fold: int
     use_batchnorm: bool = True
     input_fold: int = 1  # f//2: x_coarse is the producer's (f//2,1) fold
+    # skip_fold == fold: the skip arrives ALREADY (fold,1)-H-folded (the
+    # encoder's copy-free folded layer1, nn/resnet.py h_fold_layer1) and is
+    # consumed with a plain folded-in/folded-out packed conv
+    # (s2d_conv_kernel_f) instead of the stride-fold full-res consume.
+    skip_fold: int = 1
 
     @nn.compact
     def __call__(self, x_coarse, skip, train: bool = False):
         o, f = self.features, self.fold
         cu = x_coarse.shape[-1] // self.input_fold
-        cin = cu + skip.shape[-1]
+        cs = skip.shape[-1] // self.skip_fold
+        cin = cu + cs
         kernel, bias = ConvParams(
             (3, 3, cin, o), use_bias=not self.use_batchnorm, name="0"
         )()
-        kb = s2d_skipfold_conv_kernel(kernel[:, :, cu:, :], f)
+        if self.skip_fold > 1:
+            assert self.skip_fold == f, "folded skip must match the block fold"
+            kb = s2d_conv_kernel_f(kernel[:, :, cu:, :], f, 1)
+            skip_strides = (1, 1)
+        else:
+            kb = s2d_skipfold_conv_kernel(kernel[:, :, cu:, :], f)
+            skip_strides = (f, 1)
         if self.input_fold > 1:
             assert self.input_fold == f // 2
             ka = up2_h1fold_from_h1fold_conv_kernel(kernel[:, :, :cu, :], f)
@@ -250,7 +262,7 @@ class _HFoldUpConvBnReLU(nn.Module):
             )
         y = y + _phase_conv(
             skip, kb.astype(skip.dtype),
-            padding=((1, 1), (1, 1)), strides=(f, 1),
+            padding=((1, 1), (1, 1)), strides=skip_strides,
         )
         if bias is not None:
             y = y + jnp.tile(bias, f)
@@ -276,12 +288,13 @@ class HFoldMidBlock(nn.Module):
     use_batchnorm: bool = True
     unfold_out: bool = True
     input_fold: int = 1  # fold//2: x is the producer's (fold//2,1) fold
+    skip_fold: int = 1  # fold: skip arrives (fold,1)-H-folded
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         y = _HFoldUpConvBnReLU(
             self.out_channels, self.fold, self.use_batchnorm,
-            input_fold=self.input_fold, name="conv1",
+            input_fold=self.input_fold, skip_fold=self.skip_fold, name="conv1",
         )(x, skip, train)
         return _HFoldConvBnReLU(
             self.out_channels, self.out_channels, self.fold,
@@ -442,6 +455,12 @@ class UnetDecoder(nn.Module):
     # (translation/unet.py coordinates this)
     s2d_tail: bool = False
     s2d_factors: Tuple[int, int] = (4, 2)
+    # per-skip (fold, 1) H-fold factors, aligned with the skips list
+    # (deepest-first); a fold > 1 marks a skip the encoder emitted H-FOLDED
+    # (nn/resnet.py h_fold_layer1). The matching HFoldMidBlock consumes it
+    # natively; any non-matching path unfolds it first (correctness
+    # fallback, costs one copy). None == all 1.
+    skip_folds: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(
@@ -461,8 +480,14 @@ class UnetDecoder(nn.Module):
         )
         last = len(self.decoder_channels) - 1
         x_fold = 1  # current H-fold factor of x (HFoldMidBlock handoff)
+        def skip_fold_of(j: int) -> int:
+            if self.skip_folds is None or j >= len(self.skip_folds):
+                return 1
+            return self.skip_folds[j]
+
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if (self.use_skips and i < len(skips)) else None
+            sf = skip_fold_of(i) if skip is not None else 1
             if (
                 self.s2d_tail
                 and i == last
@@ -482,8 +507,11 @@ class UnetDecoder(nn.Module):
                     name=f"block_{i}",
                 )(x, train)
             h_nat, w_nat = x.shape[1] * x_fold, x.shape[2]
-            f = self._mid_fold(h_nat, w_nat, skip, out_ch)
+            f = self._mid_fold(h_nat, w_nat, skip, out_ch, sf)
             if f > 1:
+                if sf > 1 and sf != f:
+                    skip = unfold_h(skip, sf)  # fallback: mismatched fold
+                    sf = 1
                 # keep the fold through the handoff when the NEXT consumer
                 # reads it natively: the (4,2) S2DTailBlock takes a (4,1)
                 # fold; a following HFoldMidBlock with fold 2f takes an
@@ -497,6 +525,7 @@ class UnetDecoder(nn.Module):
                     f_next = self._mid_fold(
                         2 * h_nat, 2 * w_nat, next_skip,
                         self.decoder_channels[i + 1],
+                        skip_fold_of(i + 1) if next_skip is not None else 1,
                     )
                     keep = f_next == 2 * f and f_next == 4
                 else:
@@ -512,11 +541,14 @@ class UnetDecoder(nn.Module):
                     use_batchnorm=self.use_batchnorm,
                     unfold_out=not keep,
                     input_fold=x_fold,
+                    skip_fold=sf,
                     name=f"block_{i}",
                 )(x, skip, train)
                 x_fold = f if keep else 1
                 continue
             assert x_fold == 1
+            if sf > 1:
+                skip = unfold_h(skip, sf)  # plain block: unfold (one copy)
             x = block_cls(
                 out_channels=out_ch,
                 skip_channels=0 if skip is None else skip.shape[-1],
@@ -527,11 +559,15 @@ class UnetDecoder(nn.Module):
             )(x, skip, train)
         return x
 
-    def _mid_fold(self, h_nat: int, w_nat: int, skip, out_ch: int) -> int:
+    def _mid_fold(
+        self, h_nat: int, w_nat: int, skip, out_ch: int, skip_fold: int = 1
+    ) -> int:
         """Fold factor for a skip-carrying decoder block with native input
         size (h_nat, w_nat): fill the 128-wide lane dim (128 // out_ch in
         {2, 4}) when shapes divide evenly; 1 (no fold) otherwise or when the
-        block is already lane-healthy."""
+        block is already lane-healthy. `skip_fold` is the (fold,1) H-fold the
+        skip ALREADY carries (encoder folded layer1) — the shape check
+        compares its native height."""
         if (
             not self.h_fold
             or not self.fused
@@ -545,7 +581,7 @@ class UnetDecoder(nn.Module):
             return 1
         h_out = 2 * h_nat
         if (
-            skip.shape[1] != h_out
+            skip.shape[1] * skip_fold != h_out
             or skip.shape[2] != 2 * w_nat
             or h_out % f != 0
             or h_out // f < 8

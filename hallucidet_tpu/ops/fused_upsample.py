@@ -281,6 +281,60 @@ def up_phase_h2_from_h4fold_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(4, 3, 4 * c, o8)
 
 
+def max_pool3x3s2_fold2(x: jnp.ndarray) -> jnp.ndarray:
+    """fold_h(max_pool 3x3/s2/p1 (x), 2) emitted NATIVELY — no fold copy.
+
+    Folded output row q packs pool rows (2q, 2q+1); pool row r covers input
+    rows 2r-1..2r+1, so phase p covers input rows 4q+2p-1..4q+2p+1 — two
+    stride-(4,2) reduce_windows (phase 0 over the 1-padded tensor, phase 1
+    over x[1:]) whose channel concat IS the (2,1) fold layout (phase-major,
+    matching fold_h / s2d_conv_kernel_f). Requires H % 4 == 0. Exact
+    (tests/test_h_fold.py). Entry point of the copy-free folded-layer1 chain
+    (nn/resnet.py h_fold_layer1; PERF.md round 4: the naive fold_h entry
+    copy cost ~3.4 ms/step at batch 64 and erased the folded blocks' win)."""
+    b, h, w, c = x.shape
+    assert h % 4 == 0, "folded maxpool needs H % 4 == 0"
+    assert jnp.issubdtype(x.dtype, jnp.floating), "float activations only"
+    dims, strides = (1, 3, 3, 1), (1, 4, 2, 1)
+    # literal -inf init keeps JAX on the reduce_window_max monoid primitive
+    # (differentiable); a traced init value falls back to the generic
+    # reduce_window, which has no reverse-mode rule
+    p0 = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides,
+        padding=((0, 0), (1, 0), (1, 1), (0, 0)),
+    )
+    p1 = jax.lax.reduce_window(
+        x[:, 1:], -jnp.inf, jax.lax.max, dims, strides,
+        padding=((0, 0), (0, 0), (1, 1), (0, 0)),
+    )
+    return jnp.concatenate([p0, p1], axis=-1)
+
+
+def fold2_stride2_consume_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [2,3,2C,O]: a stride-(2,·) 3x3 conv consuming the
+    producer's (2,1) H-FOLDED output directly — strides (1, sx), padding
+    ((1, 0), same W).
+
+    Output row r' reads original rows 2r'-1, 2r', 2r'+1 = folded
+    (r'-1, phase1), (r', phase0), (r', phase1): tap T0 carries k[0] on the
+    phase-1 channels, tap T1 carries k[1]/k[2] on phase 0/1. Input channel
+    order (p, c) matches fold_h. Exact. Used by FoldConsumeBasicBlock
+    (layer2_0 consuming the folded layer1)."""
+    c = k.shape[2]
+    z = jnp.zeros_like(k[0])  # [3, C, O]
+    t0 = jnp.concatenate([z, k[0]], axis=1)  # [3, 2C, O]
+    t1 = jnp.concatenate([k[1], k[2]], axis=1)
+    return jnp.stack([t0, t1], axis=0)  # [2, 3, 2C, O]
+
+
+def fold2_stride2_consume_1x1_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[1,1,C,O] -> [1,1,2C,O]: a stride-2 1x1 conv (ResNet downsample)
+    consuming a (2,1) H-folded input — strides (1, 2), padding 0. Output row
+    r' reads original row 2r' = folded (r', phase0); the phase-1 block is
+    zero. Exact."""
+    return jnp.concatenate([k, jnp.zeros_like(k)], axis=2)
+
+
 def fold_h(x: jnp.ndarray, f: int) -> jnp.ndarray:
     """[B,H,W,C] -> [B,H/f,W,f*C], channel order (ry, c) — the (f, 1)
     space-to-depth fold consumed by s2d_conv_kernel_f(k, f, 1). A pure

@@ -45,6 +45,14 @@ class Unet(nn.Module):
     # top of the 2x2 form — puts >=128 channels on the TPU lane dim for the
     # tail convs (PERF.md round 3); (2, 2) is the legacy form.
     s2d_factors: Tuple[int, int] = (4, 2)
+    # run the ResNet encoder's layer1 on the copy-free (2,1) H-folded chain
+    # (nn/resnet.py h_fold_layer1: folded maxpool -> HFoldBasicBlocks ->
+    # fold-consuming layer2_0) and hand the folded layer1 skip to a
+    # fold-aware decoder block (UnetDecoder skip_folds). Exact; engages only
+    # for BasicBlock ResNets at geometries the chain supports
+    # (nn/resnet.layer1_fold_factor); the decoder unfolds the skip as a
+    # fallback when its own fold routing declines.
+    fold_layer1: bool = True
 
     def _check_input_shape(self, x: jnp.ndarray):
         h, w = x.shape[1:3]
@@ -76,6 +84,16 @@ class Unet(nn.Module):
         encoder, _, needs_center = get_encoder(self.encoder_name)
         if self.remat and hasattr(encoder, "remat"):
             encoder = encoder.copy(remat=True)
+        l1_fold = 1
+        if self.fold_layer1 and hasattr(encoder, "h_fold_layer1"):
+            from hallucidet_tpu.nn.resnet import layer1_fold_factor
+
+            l1_fold = layer1_fold_factor(
+                getattr(encoder, "arch", ""), x.shape[1],
+                getattr(encoder, "output_stride", 32),
+            )
+            if l1_fold > 1:
+                encoder = encoder.copy(h_fold_layer1=True)
         features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
         # consume only encoder_depth stages; the deeper features are unused
         # and their compute is eliminated by XLA
@@ -84,6 +102,14 @@ class Unet(nn.Module):
         # the (4,2) tail needs H divisible by 8 and W by 4 — guaranteed by
         # _check_input_shape (2^encoder_depth >= 8 for depth in [3,5])
         factors = self.s2d_factors
+        # the layer1 skip sits at index encoder_depth-3 of the deepest-first
+        # skips list; it arrives (l1_fold,1)-H-folded when the chain engaged
+        skip_folds = None
+        if l1_fold > 1:
+            skip_folds = tuple(
+                l1_fold if j == self.encoder_depth - 3 else 1
+                for j in range(self.encoder_depth - 1)
+            )
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,
             use_batchnorm=self.decoder_use_batchnorm,
@@ -93,6 +119,7 @@ class Unet(nn.Module):
             remat=self.remat,
             s2d_tail=s2d,
             s2d_factors=factors,
+            skip_folds=skip_folds,
             name="decoder",
         )(features, train)
         masks = SegmentationHead(

@@ -139,10 +139,47 @@ def test_mid_fold_skips_indivisible_shapes():
     assert out.shape[1:3] == (36, 20)
 
 
+def test_max_pool_fold2_exact():
+    """max_pool3x3s2_fold2 == fold_h(max_pool 3x3/s2/p1, 2) bit-for-bit."""
+    from flax import linen as fnn
+
+    from hallucidet_tpu.ops.fused_upsample import max_pool3x3s2_fold2
+
+    for shape in [(2, 16, 10, 5), (1, 64, 33, 3), (3, 8, 8, 64)]:
+        x = jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
+        want = fold_h(
+            fnn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))),
+            2,
+        )
+        got = max_pool3x3s2_fold2(x)
+        assert got.shape == want.shape
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_fold_consume_basic_block_matches_plain():
+    """FoldConsumeBasicBlock(fold_h(x)) == BasicBlock(stride 2, downsample)(x)
+    with the identical param tree."""
+    from hallucidet_tpu.nn.resnet import BasicBlock, FoldConsumeBasicBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 24, 18, 64), jnp.float32)
+    ref = BasicBlock(planes=128, stride=2, downsample=True)
+    var = ref.init(jax.random.PRNGKey(0), x, False)
+    want = ref.apply(var, x, False)
+    mod = FoldConsumeBasicBlock(planes=128)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        mod.init(jax.random.PRNGKey(0), fold_h(x, 2), False)
+    )
+    got = mod.apply(var, fold_h(x, 2), False)
+    assert got.shape == want.shape
+    assert _rel(want, got) < 1e-5
+
+
 def test_encoder_layer1_h_fold_exact_fwd_stats_grads():
-    """ResNet(h_fold_layer1=True) must match the plain encoder bit-for-bit in
-    tree structure and to float-reassociation tolerance in outputs, train-mode
-    batch stats, and grads (VERDICT r4: lane-bound layer1, PERF.md round 4)."""
+    """ResNet(h_fold_layer1=True) — the copy-free chain: folded maxpool ->
+    HFoldBasicBlocks -> FoldConsumeBasicBlock — must match the plain encoder
+    in tree structure and to float-reassociation tolerance in outputs (the
+    layer1 feature comes back (2,1)-folded), train-mode batch stats, and
+    grads (VERDICT r4: lane-bound layer1, PERF.md round 4)."""
     from hallucidet_tpu.nn.resnet import ResNet
 
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 96, 3), jnp.float32)
@@ -154,7 +191,11 @@ def test_encoder_layer1_h_fold_exact_fwd_stats_grads():
     )
     fa = enc_a.apply(var, x, False)
     fb = enc_b.apply(var, x, False)
+    assert fb[2].shape == (2, 8, 24, 128)  # (2,1)-folded layer1
+    fb = list(fb)
+    fb[2] = unfold_h(fb[2], 2)
     for a, b in zip(fa, fb):
+        assert a.shape == b.shape
         assert _rel(a, b) < 1e-5
 
     def loss(enc):
@@ -197,3 +238,48 @@ def test_encoder_layer1_h_fold_skips_odd_height():
     var = enc.init(jax.random.PRNGKey(0), x, False)
     feats = enc.apply(var, x, False)
     assert feats[2].shape == (1, 75, 16, 64)
+
+
+def test_unet_layer1_fold_end_to_end():
+    """Unet(fold_layer1=True) — encoder chain + fold-aware decoder skip —
+    must keep the param tree and match the unfolded model's output and
+    grads to float-reassociation tolerance."""
+    from hallucidet_tpu.translation.unet import Unet
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 96, 3), jnp.float32)
+    a = Unet(encoder_name="resnet18", fold_layer1=False)
+    b = Unet(encoder_name="resnet18", fold_layer1=True)
+    var = a.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(
+        b.init(jax.random.PRNGKey(0), x, False)
+    )
+    ya = a.apply(var, x, False)
+    yb = b.apply(var, x, False)
+    assert ya.shape == yb.shape
+    assert _rel(ya, yb) < 1e-4
+
+    def loss(m):
+        def f(p):
+            y, upd = m.apply(
+                {"params": p, "batch_stats": var["batch_stats"]}, x, True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+        return f
+
+    ga = jax.grad(loss(a))(var["params"])
+    gb = jax.grad(loss(b))(var["params"])
+    rel = jax.tree_util.tree_map(
+        lambda p, q: float(jnp.max(jnp.abs(p - q)) / (jnp.max(jnp.abs(p)) + 1e-9)),
+        ga, gb,
+    )
+    worst = max(jax.tree_util.tree_leaves(rel))
+    assert worst < 5e-2, worst  # ReLU-gate flips amplify reassoc noise
+    total_rel = abs(
+        sum(float(jnp.sum(p)) for p in jax.tree_util.tree_leaves(ga))
+        - sum(float(jnp.sum(p)) for p in jax.tree_util.tree_leaves(gb))
+    )
+    assert total_rel < 1e-2 * max(
+        1.0,
+        abs(sum(float(jnp.sum(p)) for p in jax.tree_util.tree_leaves(ga))),
+    )
