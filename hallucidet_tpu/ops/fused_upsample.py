@@ -281,6 +281,7 @@ def up_phase_h2_from_h4fold_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(4, 3, 4 * c, o8)
 
 
+@jax.custom_vjp
 def max_pool3x3s2_fold2(x: jnp.ndarray) -> jnp.ndarray:
     """fold_h(max_pool 3x3/s2/p1 (x), 2) emitted NATIVELY — no fold copy.
 
@@ -291,7 +292,14 @@ def max_pool3x3s2_fold2(x: jnp.ndarray) -> jnp.ndarray:
     matching fold_h / s2d_conv_kernel_f). Requires H % 4 == 0. Exact
     (tests/test_h_fold.py). Entry point of the copy-free folded-layer1 chain
     (nn/resnet.py h_fold_layer1; PERF.md round 4: the naive fold_h entry
-    copy cost ~3.4 ms/step at batch 64 and erased the folded blocks' win)."""
+    copy cost ~3.4 ms/step at batch 64 and erased the folded blocks' win).
+
+    custom_vjp: differentiating the two phase reduce_windows directly costs
+    TWO near-full-input select-and-scatters (measured 2x2.68 ms at b8 vs the
+    single pool's 2.62). The phase windows are exactly the single pool's
+    windows partitioned by row parity, so the backward is the STANDARD
+    single maxpool backward applied to the unfolded cotangent (unfold_h is
+    a reshape XLA fuses into the neighbors)."""
     b, h, w, c = x.shape
     assert h % 4 == 0, "folded maxpool needs H % 4 == 0"
     assert jnp.issubdtype(x.dtype, jnp.floating), "float activations only"
@@ -308,6 +316,27 @@ def max_pool3x3s2_fold2(x: jnp.ndarray) -> jnp.ndarray:
         padding=((0, 0), (0, 0), (1, 1), (0, 0)),
     )
     return jnp.concatenate([p0, p1], axis=-1)
+
+
+def _max_pool_fold2_fwd(x):
+    return max_pool3x3s2_fold2(x), x
+
+
+def _max_pool_fold2_bwd(x, g):
+    def pool(y):
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+
+    # the recomputed forward inside vjp is dead code (the transpose rule of
+    # reduce_window_max reads only x and the cotangent) — XLA eliminates it
+    _, vjp = jax.vjp(pool, x)
+    (dx,) = vjp(unfold_h(g, 2))
+    return (dx,)
+
+
+max_pool3x3s2_fold2.defvjp(_max_pool_fold2_fwd, _max_pool_fold2_bwd)
 
 
 def fold2_stride2_consume_kernel(k: jnp.ndarray) -> jnp.ndarray:

@@ -156,6 +156,33 @@ def test_max_pool_fold2_exact():
         assert float(jnp.max(jnp.abs(got - want))) == 0.0
 
 
+def test_max_pool_fold2_grad_exact():
+    """The custom_vjp backward (single standard maxpool bwd on the unfolded
+    cotangent) must equal the direct grad of fold_h(max_pool) bit-for-bit —
+    both resolve window ties to the same first-max element."""
+    from flax import linen as fnn
+
+    from hallucidet_tpu.ops.fused_upsample import max_pool3x3s2_fold2
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 16, 10, 5), jnp.float32)
+    # include exact ties (ReLU-like zeros) to pin the tie-break behavior
+    x = jnp.where(jnp.abs(x) < 0.3, 0.0, x)
+    w = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 5, 10), jnp.float32)
+
+    def loss_fold(y):
+        return jnp.sum(max_pool3x3s2_fold2(y) * w)
+
+    def loss_ref(y):
+        p = fnn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return jnp.sum(fold_h(p, 2) * w)
+
+    ga = jax.grad(loss_fold)(x)
+    gb = jax.grad(loss_ref)(x)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_fold_consume_basic_block_matches_plain():
     """FoldConsumeBasicBlock(fold_h(x)) == BasicBlock(stride 2, downsample)(x)
     with the identical param tree."""
