@@ -65,9 +65,10 @@ def main():
             )
             hall = module.encoder_decoder.apply(
                 ed_vars, ir.astype(jnp.bfloat16), False, output_phase_form=True
-            ).astype(jnp.float32)
+            )
             dets = det.predict(
-                variables, hall, phase_form=module.phase_factors, fast=True
+                variables, hall, phase_form=module.phase_factors, fast=True,
+                half=True,
             )
             return jnp.sum(dets.scores), None, (dets, None, None), None
         eval_step = jax.jit(step)

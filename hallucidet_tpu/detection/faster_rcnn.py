@@ -145,6 +145,28 @@ class FasterRCNNModule(nn.Module):
         return feats, objs, deltas, logits, reg
 
 
+def _half_cast(variables, images_t, half: bool):
+    """The bf16 feature path: detector conv/matmul feature extraction
+    (backbone, FPN, RPN head, RoIAlign, box head) runs in bfloat16 while every
+    box-math consumer (proposal decode, IoU matching, sampling, NMS, losses)
+    stays float32 — the cast boundaries in forward/infer upcast the head
+    outputs. Mirrors the reference's Lightning `--precision 16` run, where
+    torch autocast wraps the WHOLE LitHalluciDet forward including the frozen
+    detector (reference: train_hallucidet.py precision flag; autocast
+    half-precisions torchvision's convs/fc but leaves box ops float). The
+    f32 path (half=False) is bit-identical to before; parity/golden tests
+    pin it. FrozenBatchNorm folds its scale in f32 (nn/layers.py) so bf16
+    params cost ~0.1% scale error, and matmul accumulation is f32 either
+    way on the MXU."""
+    if not half:
+        return variables, images_t
+    cast = jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16)
+        if t.dtype == jnp.float32 else t, variables
+    )
+    return cast, images_t.astype(jnp.bfloat16)
+
+
 def _flatten_rpn_outputs(objs, deltas):
     """Per-level NHWC maps -> concatenated [B, A_total] / [B, A_total, 4],
     position-major with cell-anchors contiguous (matches ops.anchors layout)."""
@@ -421,6 +443,7 @@ class FasterRCNN:
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
         phase_form=False,  # bool | (fh, fw): images = U-Net s2d tail phase output
+        half: bool = False,  # bf16 feature path (see _half_cast)
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         cfg = self.config
         if rng is None:
@@ -430,10 +453,13 @@ class FasterRCNN:
         else:
             original_hw = images.shape[1:3]
         images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
+        variables, images_t = _half_cast(variables, images_t, half)
 
         feats = self.module.apply(variables, images_t, method="features")
         objs, deltas = self.module.apply(variables, feats, method="rpn")
         objectness, pred_deltas, level_sizes = _flatten_rpn_outputs(objs, deltas)
+        objectness = objectness.astype(jnp.float32)
+        pred_deltas = pred_deltas.astype(jnp.float32)
 
         anchors = jnp.asarray(self.anchors())
         proposals = decode_boxes(jax.lax.stop_gradient(pred_deltas), anchors)
@@ -463,6 +489,8 @@ class FasterRCNN:
         class_logits, box_regression = self.module.apply(
             variables, pooled, method="box_predict"
         )
+        class_logits = class_logits.astype(jnp.float32)
+        box_regression = box_regression.astype(jnp.float32)
         loss_cls, loss_box = _fastrcnn_loss(
             class_logits, box_regression, sel_labels, reg_targets, sel_valid
         )
@@ -481,6 +509,7 @@ class FasterRCNN:
         rng: Optional[jax.Array] = None,
         phase_form=False,
         fast: bool = False,
+        half: bool = False,
     ) -> Detections:
         """Pure serving path: detections without targets or losses — the
         stock torchvision eval behavior (all post-NMS proposals through the
@@ -500,10 +529,13 @@ class FasterRCNN:
         else:
             original_hw = images.shape[1:3]
         images_t, _ = self.transform(images, None, phase_form=phase_form)
+        variables, images_t = _half_cast(variables, images_t, half)
 
         feats = self.module.apply(variables, images_t, method="features")
         objs, deltas = self.module.apply(variables, feats, method="rpn")
         objectness, pred_deltas, level_sizes = _flatten_rpn_outputs(objs, deltas)
+        objectness = objectness.astype(jnp.float32)
+        pred_deltas = pred_deltas.astype(jnp.float32)
         anchors = jnp.asarray(self.anchors())
         proposals = decode_boxes(pred_deltas, anchors)
         prop_boxes, _, prop_valid = _filter_proposals(
@@ -520,6 +552,8 @@ class FasterRCNN:
         class_logits, box_regression = self.module.apply(
             variables, pooled, method="box_predict"
         )
+        class_logits = class_logits.astype(jnp.float32)
+        box_regression = box_regression.astype(jnp.float32)
         dets = _postprocess_detections(
             class_logits, box_regression, prop_boxes, prop_valid,
             self.image_size, cfg,

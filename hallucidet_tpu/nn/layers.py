@@ -35,8 +35,15 @@ class FrozenBatchNorm(nn.Module):
         weight, bias, mean, var = map(
             jax.lax.stop_gradient, (weight, bias, mean, var)
         )
-        scale = weight * jax.lax.rsqrt(var + self.eps)
-        return x * scale + (bias - mean * scale)
+        # Fold to scale/shift in f32 (stable rsqrt even when params arrive
+        # bf16 under the half-precision feature path), then apply in the
+        # activation dtype so a bf16 x stays bf16. Exact no-op for f32.
+        w32, b32, m32, v32 = (
+            t.astype(jnp.float32) for t in (weight, bias, mean, var)
+        )
+        scale = w32 * jax.lax.rsqrt(v32 + self.eps)
+        shift = b32 - m32 * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class BatchNorm(nn.Module):

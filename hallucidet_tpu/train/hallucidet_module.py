@@ -246,6 +246,7 @@ class HalluciDetModule:
             {"params": det_frozen}, hallucinated, targets_ir,
             train_det=unfreeze and train, rng=rng,
             phase_form=self.phase_factors if phase else False,
+            half=half,
         )
 
         name = self.detector.name
@@ -283,11 +284,11 @@ class HalluciDetModule:
                 ir3 = expand_one_channel_to_three(imgs_ir)
             _, det_rgb = self.detector.calculate_loss(
                 {"params": det_frozen}, imgs_rgb, targets_rgb,
-                train_det=False, rng=rng,
+                train_det=False, rng=rng, half=half,
             )
             _, det_ir = self.detector.calculate_loss(
                 {"params": det_frozen}, ir3, targets_ir,
-                train_det=False, rng=rng,
+                train_det=False, rng=rng, half=half,
             )
 
         logs = {
