@@ -117,27 +117,25 @@ class Detector:
         contract (reference: src/models/detector.py:105-118). phase_form
         (bool | (fh, fw) tuple): `images` is the U-Net s2d tail's
         [B,H/fh,W/fw,fh*fw*C] phase output, consumed directly by the
-        transform resize. half=True: bf16 feature path (Faster R-CNN only
-        today; detection/faster_rcnn._half_cast) — the product
-        `--precision 16` config."""
-        kw = {}
-        if half and self.name == "fasterrcnn":
-            kw["half"] = True
+        transform resize. half=True: bf16 feature path for every family
+        (detection/transform.half_cast) — the product `--precision 16`
+        config; the reference autocasts whichever detector is selected."""
         return self.impl.forward(
             variables, images, targets, train_det, rng, phase_form=phase_form,
-            **kw,
+            half=half,
         )
 
     def predict(self, variables, images: jnp.ndarray, rng=None,
                 phase_form=False, fast: bool = False, half: bool = False):
         """Serving-only detections (no targets, no loss graph). fast=True
-        uses the production-serving proposal pool; half=True the bf16
-        feature path (both Faster R-CNN only)."""
+        uses the production-serving proposal pool (Faster R-CNN only —
+        retinanet/fcos have no proposal stage); half=True the bf16 feature
+        path (every family)."""
         kw = {}
         if phase_form:
             kw["phase_form"] = phase_form
         if fast and self.name == "fasterrcnn":
             kw["fast"] = True
-        if half and self.name == "fasterrcnn":
+        if half:
             kw["half"] = True
         return self.impl.infer(variables, images, rng, **kw)

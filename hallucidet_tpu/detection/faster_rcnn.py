@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from hallucidet_tpu.ops.fused_upsample import phase_native_hw
 from hallucidet_tpu.detection.targets import Detections, Targets
-from hallucidet_tpu.detection.transform import DetectionTransform
+from hallucidet_tpu.detection.transform import DetectionTransform, half_cast
 from hallucidet_tpu.nn.fpn import FPN
 from hallucidet_tpu.nn.layers import conv
 from hallucidet_tpu.nn.resnet import ResNet
@@ -145,26 +145,8 @@ class FasterRCNNModule(nn.Module):
         return feats, objs, deltas, logits, reg
 
 
-def _half_cast(variables, images_t, half: bool):
-    """The bf16 feature path: detector conv/matmul feature extraction
-    (backbone, FPN, RPN head, RoIAlign, box head) runs in bfloat16 while every
-    box-math consumer (proposal decode, IoU matching, sampling, NMS, losses)
-    stays float32 — the cast boundaries in forward/infer upcast the head
-    outputs. Mirrors the reference's Lightning `--precision 16` run, where
-    torch autocast wraps the WHOLE LitHalluciDet forward including the frozen
-    detector (reference: train_hallucidet.py precision flag; autocast
-    half-precisions torchvision's convs/fc but leaves box ops float). The
-    f32 path (half=False) is bit-identical to before; parity/golden tests
-    pin it. FrozenBatchNorm folds its scale in f32 (nn/layers.py) so bf16
-    params cost ~0.1% scale error, and matmul accumulation is f32 either
-    way on the MXU."""
-    if not half:
-        return variables, images_t
-    cast = jax.tree_util.tree_map(
-        lambda t: t.astype(jnp.bfloat16)
-        if t.dtype == jnp.float32 else t, variables
-    )
-    return cast, images_t.astype(jnp.bfloat16)
+# Shared across detector families (see detection/transform.py docstring).
+_half_cast = half_cast
 
 
 def _flatten_rpn_outputs(objs, deltas):
@@ -178,7 +160,8 @@ def _flatten_rpn_outputs(objs, deltas):
 
 
 def _filter_proposals(
-    proposals: jnp.ndarray,  # [B, A, 4]
+    pred_deltas: jnp.ndarray,  # [B, A, 4] raw RPN deltas
+    anchors: jnp.ndarray,  # [A, 4]
     objectness: jnp.ndarray,  # [B, A]
     level_sizes: Sequence[int],
     image_hw: Tuple[int, int],
@@ -192,6 +175,11 @@ def _filter_proposals(
     NMS runs independently per level — O(sum k_l^2) instead of O((sum k_l)^2)
     suppression work and no candidate-cap truncation — then the survivors
     merge by a global score top-k. Exactly equivalent to the reference path.
+
+    Proposals are decoded AFTER the per-level top-k (round-5 perf work):
+    selection depends only on objectness and decode is elementwise, so
+    decoding the <=pre_nms_top_n survivors instead of all ~181k anchors is
+    exact while skipping a [B, A, 4] decode+materialize.
     Returns (boxes [B,P,4], scores [B,P], valid [B,P])."""
     pre = cfg.rpn_pre_nms_top_n_train if training else cfg.rpn_pre_nms_top_n_test
     post = cfg.rpn_post_nms_top_n_train if training else cfg.rpn_post_nms_top_n_test
@@ -202,9 +190,10 @@ def _filter_proposals(
         k = min(pre, a_l)
         obj_l = objectness[:, start : start + a_l]
         scores_l, idx = jax.lax.top_k(obj_l, k)
-        boxes_l = jnp.take_along_axis(
-            proposals[:, start : start + a_l], idx[..., None], axis=1
+        deltas_l = jnp.take_along_axis(
+            pred_deltas[:, start : start + a_l], idx[..., None], axis=1
         )
+        boxes_l = decode_boxes(deltas_l, anchors[start : start + a_l][idx])
         scores_l = jax.nn.sigmoid(scores_l)
         boxes_l = clip_boxes_to_image(boxes_l, image_hw)
         valid_l = remove_small_boxes_mask(boxes_l, cfg.rpn_min_size)
@@ -462,9 +451,9 @@ class FasterRCNN:
         pred_deltas = pred_deltas.astype(jnp.float32)
 
         anchors = jnp.asarray(self.anchors())
-        proposals = decode_boxes(jax.lax.stop_gradient(pred_deltas), anchors)
         prop_boxes, _, prop_valid = _filter_proposals(
-            proposals, jax.lax.stop_gradient(objectness), level_sizes,
+            jax.lax.stop_gradient(pred_deltas), anchors,
+            jax.lax.stop_gradient(objectness), level_sizes,
             self.image_size, cfg, train_det,
         )
 
@@ -537,9 +526,9 @@ class FasterRCNN:
         objectness = objectness.astype(jnp.float32)
         pred_deltas = pred_deltas.astype(jnp.float32)
         anchors = jnp.asarray(self.anchors())
-        proposals = decode_boxes(pred_deltas, anchors)
         prop_boxes, _, prop_valid = _filter_proposals(
-            proposals, objectness, level_sizes, self.image_size, cfg, False
+            pred_deltas, anchors, objectness, level_sizes,
+            self.image_size, cfg, False,
         )
 
         strides = [

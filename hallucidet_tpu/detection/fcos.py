@@ -20,7 +20,7 @@ from flax import linen as nn
 from hallucidet_tpu.detection.retinanet import topk_candidates_postprocess
 from hallucidet_tpu.ops.fused_upsample import phase_native_hw
 from hallucidet_tpu.detection.targets import Detections, Targets
-from hallucidet_tpu.detection.transform import DetectionTransform
+from hallucidet_tpu.detection.transform import DetectionTransform, half_cast
 from hallucidet_tpu.nn.fpn import FPN
 from hallucidet_tpu.nn.layers import conv
 from hallucidet_tpu.nn.resnet import ResNet
@@ -264,6 +264,7 @@ class FCOS:
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
         phase_form=False,  # bool | (fh, fw): images = U-Net s2d tail phase output
+        half: bool = False,  # bf16 feature path (detection/transform.half_cast)
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         del train_det, rng
         cfg = self.config
@@ -272,11 +273,15 @@ class FCOS:
         else:
             original_hw = images.shape[1:3]
         images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
+        variables, images_t = half_cast(variables, images_t, half)
 
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg, ctrness = self.module.apply(
             variables, feats, method="head"
         )
+        cls_logits = cls_logits.astype(jnp.float32)
+        bbox_reg = bbox_reg.astype(jnp.float32)
+        ctrness = ctrness.astype(jnp.float32)
 
         anchors = self.anchors()
         losses = _fcos_loss(
@@ -309,7 +314,7 @@ class FCOS:
         return losses, dets
 
     def infer(self, variables, images: jnp.ndarray, rng=None,
-              phase_form=False) -> Detections:
+              phase_form=False, half: bool = False) -> Detections:
         """Serving path: detections only."""
         del rng
         cfg = self.config
@@ -318,10 +323,14 @@ class FCOS:
         else:
             original_hw = images.shape[1:3]
         images_t, _ = self.transform(images, None, phase_form=phase_form)
+        variables, images_t = half_cast(variables, images_t, half)
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg, ctrness = self.module.apply(
             variables, feats, method="head"
         )
+        cls_logits = cls_logits.astype(jnp.float32)
+        bbox_reg = bbox_reg.astype(jnp.float32)
+        ctrness = ctrness.astype(jnp.float32)
         scores = jnp.sqrt(
             jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(ctrness)[..., None]
         )

@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from hallucidet_tpu.ops.fused_upsample import phase_native_hw
 from hallucidet_tpu.detection.targets import Detections, Targets
-from hallucidet_tpu.detection.transform import DetectionTransform
+from hallucidet_tpu.detection.transform import DetectionTransform, half_cast
 from hallucidet_tpu.nn.fpn import FPN
 from hallucidet_tpu.nn.layers import conv
 from hallucidet_tpu.nn.resnet import ResNet
@@ -252,6 +252,7 @@ class RetinaNet:
         train_det: bool = False,
         rng: Optional[jax.Array] = None,
         phase_form=False,  # bool | (fh, fw): images = U-Net s2d tail phase output
+        half: bool = False,  # bf16 feature path (detection/transform.half_cast)
     ) -> Tuple[Dict[str, jnp.ndarray], Detections]:
         del train_det, rng  # retinanet has no sampling and no mode-dependent path
         cfg = self.config
@@ -260,9 +261,12 @@ class RetinaNet:
         else:
             original_hw = images.shape[1:3]
         images_t, targets_t = self.transform(images, targets, phase_form=phase_form)
+        variables, images_t = half_cast(variables, images_t, half)
 
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg = self.module.apply(variables, feats, method="head")
+        cls_logits = cls_logits.astype(jnp.float32)
+        bbox_reg = bbox_reg.astype(jnp.float32)
 
         anchors = self.anchors()
         losses = _retinanet_loss(
@@ -288,7 +292,7 @@ class RetinaNet:
         return losses, dets
 
     def infer(self, variables, images: jnp.ndarray, rng=None,
-              phase_form=False) -> Detections:
+              phase_form=False, half: bool = False) -> Detections:
         """Serving path: detections only (loss path skipped entirely)."""
         del rng
         cfg = self.config
@@ -297,8 +301,11 @@ class RetinaNet:
         else:
             original_hw = images.shape[1:3]
         images_t, _ = self.transform(images, None, phase_form=phase_form)
+        variables, images_t = half_cast(variables, images_t, half)
         feats = self.module.apply(variables, images_t, method="features")
         cls_logits, bbox_reg = self.module.apply(variables, feats, method="head")
+        cls_logits = cls_logits.astype(jnp.float32)
+        bbox_reg = bbox_reg.astype(jnp.float32)
         dets = topk_candidates_postprocess(
             class_scores=jax.nn.sigmoid(cls_logits),
             decode_fn=decode_boxes,

@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from hallucidet_tpu.detection.targets import Detections, Targets
@@ -25,6 +26,30 @@ from hallucidet_tpu.ops.image_ops import (
     resize_bilinear,
     resize_bilinear_from_phase,
 )
+
+
+def half_cast(variables, images_t, half: bool):
+    """The bf16 detector feature path, shared by all three families: conv/
+    matmul feature extraction (backbone, FPN, heads, RoIAlign) runs in
+    bfloat16 while every box-math consumer (decode, matching, sampling, NMS,
+    losses) stays float32 — each family's forward upcasts the head outputs at
+    the boundary. Mirrors the reference's Lightning `--precision 16` run,
+    where torch autocast wraps the WHOLE LitHalluciDet forward including the
+    frozen detector and half-precisions whichever detector is selected
+    (reference: train_hallucidet.py precision flag;
+    src/models/detector.py:123-141 selects the family). The f32 path
+    (half=False) is bit-identical to before; parity/golden tests pin it.
+    FrozenBatchNorm folds its scale in f32 (nn/layers.py), Flax Group/
+    LayerNorm compute statistics in f32 even for bf16 inputs (mirroring
+    autocast's fp32 list for norms), and matmul accumulation is f32 either
+    way on the MXU."""
+    if not half:
+        return variables, images_t
+    cast = jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16)
+        if t.dtype == jnp.float32 else t, variables
+    )
+    return cast, images_t.astype(jnp.bfloat16)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,11 +47,33 @@ def _suppression_fixed_point(over: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarr
     deeper (A kills B, dead B revives C, ...). Real detection workloads
     converge in a handful of rounds; the while_loop exits exactly at the
     fixed point, so the result equals the sequential algorithm bit-for-bit.
+
+    The overlap matrix is BIT-PACKED along the row (suppressor) axis into
+    int32 words before the loop: the [N, N] bool matrix the loop re-reads
+    every round shrinks 32x (at the RPN's N=1000 per level: 1 MB -> 32 KB
+    per image), and `suppressed[j] = any_i keep[i] & tri[i, j]` becomes a
+    word-AND + reduce over N/32 words. The pack itself fuses into the IoU
+    producer, so the f32 IoU matrix is consumed streaming (round-5 perf
+    work; the unpacked form was the single largest slice of the RPN block's
+    ~15 ms/step at b64 — PERF.md round-4 trace).
     """
     n = over.shape[0]
     idx = jnp.arange(n)
     # strictly-upper-triangular overlap among valid candidates
     tri = over & (idx[:, None] < idx[None, :]) & valid[:, None] & valid[None, :]
+    w = (n + 31) // 32
+    pad = w * 32 - n
+    bits = jnp.asarray([1 << b for b in range(32)], jnp.uint32)
+    # tri_packed[w, j] bit b  <->  tri[32w + b, j]; distinct powers of two
+    # never carry, so the OR is a plain sum
+    tri_p = jnp.pad(tri, ((0, pad), (0, 0)))
+    tri_packed = jnp.sum(
+        jnp.where(tri_p.reshape(w, 32, n), bits[None, :, None], 0), axis=1
+    )
+
+    def pack_keep(keep):
+        kp = jnp.pad(keep, (0, pad))
+        return jnp.sum(jnp.where(kp.reshape(w, 32), bits[None, :], 0), axis=1)
 
     def cond(state):
         keep, done, it = state
@@ -59,8 +81,9 @@ def _suppression_fixed_point(over: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarr
 
     def body(state):
         keep, _, it = state
-        # suppressed[j] = any_i (tri[i, j] & keep[i])
-        suppressed = jnp.any(tri & keep[:, None], axis=0)
+        suppressed = jnp.any(
+            (tri_packed & pack_keep(keep)[:, None]) != 0, axis=0
+        )
         new_keep = valid & ~suppressed
         return new_keep, jnp.array_equal(new_keep, keep), it + 1
 

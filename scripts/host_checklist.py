@@ -22,6 +22,14 @@ Checks (each reported PASS/FAIL/SKIP independently; exit 0 iff none FAIL):
   3. lpips_conversion — scripts/convert_lpips.py on the real `lpips` package
                         weights + forward comparison vs the torch LPIPS on a
                         random image pair; SKIP if `lpips` not importable.
+  4. encoder_zoo      — scripts/convert_encoder.py against REAL upstream
+                        weights, one representative per encoder family
+                        (reference: src/segmentation_models/encoders/
+                        __init__.py:62-85 pretrained settings), then a
+                        deepest-feature forward diff vs the torch model.
+                        Sources: torchvision / pretrainedmodels /
+                        efficientnet_pytorch / timm — names whose source
+                        package is absent are SKIPped individually.
 
 In-env plumbing smoke (no torch host needed; wired into the suite via
 tests/test_parity_smoke.py):
@@ -239,6 +247,199 @@ def check_lpips(args):
 
 
 # ---------------------------------------------------------------------------
+# 4. encoder zoo: real-weight conversion + forward diff per family
+# ---------------------------------------------------------------------------
+
+# One representative per encoder family -> (source, torch builder spec).
+# The torch side produces the model's deepest pre-pooling feature map; the
+# flax side is the converted encoder's last staged feature. Both are compared
+# NHWC at f32 tolerance. Names whose source package isn't importable SKIP.
+_ZOO_REPS = {
+    # torchvision
+    "resnet18": ("torchvision", "resnet18", "layer4"),
+    "densenet121": ("torchvision", "densenet121", "features"),
+    "mobilenet_v2": ("torchvision", "mobilenet_v2", "features"),
+    "vgg11": ("torchvision", "vgg11", "features"),
+    # pretrainedmodels (cadene)
+    "dpn68": ("pretrainedmodels", "dpn68", "features"),
+    "inceptionv4": ("pretrainedmodels", "inceptionv4", "features"),
+    "inceptionresnetv2": ("pretrainedmodels", "inceptionresnetv2", None),
+    "se_resnet50": ("pretrainedmodels", "se_resnet50", "layer4"),
+    "senet154": ("pretrainedmodels", "senet154", "layer4"),
+    "xception": ("pretrainedmodels", "xception", None),
+    # efficientnet_pytorch
+    "efficientnet-b0": ("efficientnet_pytorch", "efficientnet-b0", None),
+    # timm
+    "timm-gernet_s": ("timm", "gernet_s", None),
+    "timm-mobilenetv3_small_100": ("timm", "mobilenetv3_small_100", None),
+    "timm-regnetx_002": ("timm", "regnetx_002", None),
+    "timm-regnety_002": ("timm", "regnety_002", None),
+    "timm-res2net50_26w_4s": ("timm", "res2net50_26w_4s", None),
+    "timm-resnest14d": ("timm", "resnest14d", None),
+    "timm-skresnet18": ("timm", "skresnet18", None),
+    # mit (SegFormer): upstream weights live in the SegFormer release, not a
+    # pip package — convert manually with scripts/convert_encoder.py
+}
+
+# the in-env smoke exercises the script chain end-to-end on synthesized
+# weights for a small cross-source subset (key-map totality over all 104
+# names is tests/test_interop_zoo.py's job)
+_ZOO_SMOKE = ("mobilenet_v2", "resnet18", "timm-regnetx_002")
+
+
+def _torch_deep_feature(source, spec, hook_point, x_nchw):
+    """Build the pretrained torch model and return (state_dict, deepest
+    feature ndarray NCHW)."""
+    import torch
+
+    if source == "torchvision":
+        import torchvision.models as tvm
+
+        model = getattr(tvm, spec)(weights="IMAGENET1K_V1").eval()
+    elif source == "pretrainedmodels":
+        import pretrainedmodels
+
+        model = pretrainedmodels.__dict__[spec](
+            num_classes=1000, pretrained="imagenet"
+        ).eval()
+    elif source == "efficientnet_pytorch":
+        from efficientnet_pytorch import EfficientNet
+
+        model = EfficientNet.from_pretrained(spec).eval()
+        with torch.no_grad():
+            return model.state_dict(), model.extract_features(x_nchw).numpy()
+    else:  # timm
+        import timm
+
+        model = timm.create_model(spec, pretrained=True).eval()
+        feat = timm.create_model(
+            spec, pretrained=True, features_only=True
+        ).eval()
+        with torch.no_grad():
+            return model.state_dict(), feat(x_nchw)[-1].numpy()
+
+    with torch.no_grad():
+        if hook_point is None:
+            out = model.features(x_nchw)  # cadene models expose .features()
+        else:
+            mod = dict(model.named_modules())[hook_point]
+            captured = {}
+            h = mod.register_forward_hook(
+                lambda m, i, o: captured.setdefault("out", o)
+            )
+            model(x_nchw)
+            h.remove()
+            out = captured["out"]
+    return model.state_dict(), out.numpy()
+
+
+def _convert_and_forward(name, sd, tmpdir):
+    """torch state dict -> .pth -> convert_encoder.py -> npz -> flax encoder
+    forward; returns the deepest staged feature [1, h, w, c]."""
+    import importlib
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    conv = importlib.import_module("convert_encoder")
+    from hallucidet_tpu.interop.torch_loader import load_encoder_npz
+    from hallucidet_tpu.nn.encoders import get_encoder
+
+    pth = os.path.join(tmpdir, "enc.pth")
+    torch.save({k: (v if isinstance(v, torch.Tensor) else torch.as_tensor(v))
+                for k, v in sd.items()}, pth)
+    npz = os.path.join(tmpdir, "enc.npz")
+    assert conv.convert(name, pth, npz) == 0
+    enc, _, _ = get_encoder(name)
+    variables = enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), False
+    )
+    loaded = load_encoder_npz(npz)  # full converted variables (all colls)
+    variables = {coll: loaded.get(coll, tree)
+                 for coll, tree in variables.items()}
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    stages = enc.apply(variables, jnp.asarray(x), False)
+    return x, np.asarray(stages[-1])
+
+
+def check_encoder_zoo(args):
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    if args.smoke:
+        # script-chain smoke on synthesized weights (no upstream packages):
+        # synthesize -> .pth -> convert_encoder.convert -> npz -> bit-equal
+        import jax.numpy as jnp
+        import torch
+
+        from hallucidet_tpu.interop import torch_loader as tl
+        from hallucidet_tpu.nn.encoders import get_encoder
+
+        for name in _ZOO_SMOKE:
+            enc, _, _ = get_encoder(name)
+            src = enc.init(
+                jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3), jnp.float32),
+                False,
+            )
+            sd = tl.synthesize_torch_state_dict(
+                dict(src), encoder_name=name, encoder_root=None
+            )
+            sd = {k: torch.from_numpy(np.asarray(v).copy())
+                  for k, v in sd.items()}
+            with tempfile.TemporaryDirectory() as td:
+                _, feat = _convert_and_forward(name, sd, td)
+            if not np.all(np.isfinite(feat)):
+                return _result("encoder_zoo", "FAIL",
+                               f"smoke: non-finite forward for {name}")
+        return _result("encoder_zoo", "PASS",
+                       f"smoke: convert chain OK for {', '.join(_ZOO_SMOKE)}")
+
+    import torch
+
+    results, failures, skips = [], [], []
+    for name, (source, spec, hook) in sorted(_ZOO_REPS.items()):
+        x_nchw = torch.from_numpy(
+            np.random.default_rng(5).uniform(0, 1, (1, 3, 64, 64))
+            .astype(np.float32)
+        )
+        try:
+            sd, want = _torch_deep_feature(source, spec, hook, x_nchw)
+        except ImportError:
+            skips.append(f"{name} ({source} absent)")
+            continue
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                _, got = _convert_and_forward(name, sd, td)
+            want_nhwc = want.transpose(0, 2, 3, 1)
+            if got.shape != want_nhwc.shape:
+                raise AssertionError(
+                    f"shape {got.shape} vs {want_nhwc.shape}"
+                )
+            diff = np.abs(got - want_nhwc).max()
+            rel = diff / max(np.abs(want_nhwc).max(), 1e-6)
+            if rel > 1e-2:
+                raise AssertionError(f"forward rel diff {rel:.2e}")
+            results.append(f"{name} OK (rel {rel:.1e})")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    if failures:
+        return _result("encoder_zoo", "FAIL", "; ".join(failures))
+    if not results:
+        return _result("encoder_zoo", "SKIP",
+                       "no source packages importable: " + "; ".join(skips))
+    detail = f"{len(results)} families verified"
+    if skips:
+        detail += f"; skipped: {', '.join(skips)}"
+    return _result("encoder_zoo", "PASS", detail)
+
+
+# ---------------------------------------------------------------------------
 
 
 def main(argv=None):
@@ -263,7 +464,8 @@ def main(argv=None):
         return 2
 
     results = []
-    for fn in (check_ap50, check_map_conformance, check_lpips):
+    for fn in (check_ap50, check_map_conformance, check_lpips,
+               check_encoder_zoo):
         try:
             results.append(fn(args))
         except Exception as e:  # noqa: BLE001 — a crash is a FAIL, not an abort

@@ -44,3 +44,21 @@ def test_host_checklist_smoke_metrics_and_lpips():
         assert host_checklist.check_lpips(Args())["status"] == "PASS"
     finally:
         sys.path.remove(SCRIPTS)
+
+
+@pytest.mark.slow
+def test_host_checklist_smoke_encoder_zoo():
+    """The encoder-zoo leg's in-env smoke (VERDICT r4 next #7): the
+    synthesize -> .pth -> convert_encoder.py -> npz -> forward chain for a
+    cross-source subset of representatives. Real-weight forward diffs run on
+    a torch host via `host_checklist.py` without --smoke."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import host_checklist
+
+        class Args:
+            smoke = True
+
+        assert host_checklist.check_encoder_zoo(Args())["status"] == "PASS"
+    finally:
+        sys.path.remove(SCRIPTS)

@@ -34,6 +34,71 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def product_bf16_vs_f32():
+    """The bf16 product config (VERDICT r4 next #1d): the EXACT eval step the
+    driver benches — HalluciDetModule(precision=16) with phase handoff +
+    half=True detector — against the same step at precision=32 with identical
+    params, on this chip. No frozen golden exists at bf16 (the numbers are
+    hardware-rounding dependent); the check is f32-relative:
+
+    - every loss finite, the deterministic-sampling losses (RPN objectness /
+      box-reg — their sampled anchor set is precision-independent, see
+      tests/test_half_detector.py) within 10% of f32;
+    - the top hallucinated-detection score per image within atol 0.05.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hallucidet_tpu.detection import pad_targets
+    from hallucidet_tpu.train import HalluciDetModule, HalluciDetTrainConfig
+
+    def build(precision):
+        return HalluciDetModule(
+            HalluciDetTrainConfig(
+                detector="fasterrcnn", decoder_backbone="resnet34",
+                input_size=300, precision=precision, remat=False,
+            ),
+            rng=jax.random.PRNGKey(0), sample_hw=(256, 320),
+        )
+
+    m32, m16 = build(32), build(16)
+    rng = np.random.RandomState(3)
+    imgs_ir = jnp.asarray(rng.rand(2, 256, 320, 1).astype(np.float32))
+    imgs_rgb = jnp.asarray(rng.rand(2, 256, 320, 3).astype(np.float32))
+    t = pad_targets(
+        [np.array([[30, 40, 140, 200]], np.float32),
+         np.array([[60, 20, 180, 160]], np.float32)],
+        [np.array([1]), np.array([1])], capacity=8,
+    )
+    batch = (imgs_rgb, t, imgs_ir, t)
+    key = jax.random.PRNGKey(11)
+
+    outs = {}
+    for tag, m in (("f32", m32), ("bf16", m16)):
+        state = m.precast_eval_state(
+            (m.ed_variables["params"], m.ed_variables.get("batch_stats", {}),
+             None)
+        )
+        step = jax.jit(m.make_eval_step(with_baselines=False))
+        total, logs, (det_hall, _, _), _ = step(state, batch, key)
+        outs[tag] = (
+            {k: float(v) for k, v in logs.items()},
+            np.asarray(det_hall.scores),
+        )
+
+    logs32, s32 = outs["f32"]
+    logs16, s16 = outs["bf16"]
+    for k, a in logs32.items():
+        b = logs16[k]
+        assert np.isfinite(b), (k, b)
+        if k in ("det_objectness", "det_rpn_box_reg"):
+            assert abs(a - b) <= 0.1 * max(abs(a), 0.05), (k, a, b)
+    np.testing.assert_allclose(
+        s16.max(axis=1), s32.max(axis=1), atol=0.05,
+        err_msg="bf16 top detection score drifted vs f32 on-chip",
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None, help="also write results JSON")
@@ -50,11 +115,13 @@ def main(argv=None):
     snap.RTOL = 3e-3
     snap.ATOL = 3e-3
 
-    cases = sorted(n for n in dir(snap) if n.startswith("test_"))
+    cases = [(n, getattr(snap, n))
+             for n in sorted(d for d in dir(snap) if d.startswith("test_"))]
+    cases.append(("product_bf16_vs_f32", product_bf16_vs_f32))
     results = []
-    for name in cases:
+    for name, fn in cases:
         try:
-            getattr(snap, name)()
+            fn()
             results.append({"case": name, "ok": True})
             print(f"PASS {name}")
         except Exception as e:  # noqa: BLE001 — report, don't abort
