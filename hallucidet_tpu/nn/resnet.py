@@ -282,7 +282,50 @@ class ResNet(nn.Module):
 
         fold = self.gray_fold and x.shape[-1] == 1
         stem_ch = 3 if fold else x.shape[-1]
-        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # The copy-free folded chain decision, made BEFORE the stem so the
+        # stem conv can emit the folded layout directly (round 5): BasicBlock
+        # archs at output_stride 32 with stem height % 4 == 0.
+        fold_l1 = (
+            self.h_fold_layer1
+            and block_cls is BasicBlock
+            and dilate_from == 5  # layer2 keeps its stride (no dilation)
+            and ((x.shape[1] + 1) // 2) % 4 == 0  # folded maxpool: stem H % 4
+        )
+        # fold-4 stem: emit the stem conv output (4,1)-H-folded straight from
+        # an (8,2) space-to-depth of the input (ops/fused_upsample.
+        # stem_fold4_conv_kernel). The folded maxpool then runs as pure
+        # channel maxes (max_pool3x3s2_fold4_to_fold2) and the stem FEATURE
+        # is returned (4,1)-folded — exactly the fold the decoder's block
+        # consumes natively (skip_folds; stem_fold_factor coordinates).
+        stem_f4 = (
+            fold_l1 and self.s2d_stem
+            and x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0
+        )
+        if stem_f4:
+            from hallucidet_tpu.ops.fused_upsample import (
+                max_pool3x3s2_fold4_to_fold2,
+                space_to_depth,
+                stem_fold4_conv_kernel,
+            )
+
+            kernel, _ = ConvParams((7, 7, stem_ch, 64), name="conv1")()
+            if fold:
+                kernel = jnp.sum(kernel, axis=2, keepdims=True)
+            kt = stem_fold4_conv_kernel(kernel).astype(x.dtype)
+            xs = space_to_depth(x, 8, 2)
+            dn = jax.lax.conv_dimension_numbers(
+                xs.shape, kt.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            out = jax.lax.conv_general_dilated(
+                xs, kt, (1, 1), ((1, 1), (2, 1)), dimension_numbers=dn
+            )
+            b_, hq_, w_, _ = out.shape
+            norm = _norm(self.frozen_bn, 64, "bn1")
+            out = _apply_norm(norm, out.reshape(b_, hq_, w_, 4, 64), train)
+            out = nn.relu(out.reshape(b_, hq_, w_, 256))
+            features.append(out)  # (4,1)-H-folded stem feature
+            out = max_pool3x3s2_fold4_to_fold2(out)
+        elif self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             from hallucidet_tpu.ops.fused_upsample import (
                 s2d_stride2_conv_kernel,
                 space_to_depth2,
@@ -310,24 +353,20 @@ class ResNet(nn.Module):
             )
         else:
             out = conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
-        out = _apply_norm(_norm(self.frozen_bn, 64, "bn1"), out, train)
-        out = nn.relu(out)
-        features.append(out)
+        if not stem_f4:
+            out = _apply_norm(_norm(self.frozen_bn, 64, "bn1"), out, train)
+            out = nn.relu(out)
+            features.append(out)
+            if fold_l1:
+                from hallucidet_tpu.ops.fused_upsample import (
+                    max_pool3x3s2_fold2,
+                )
 
-        fold_l1 = (
-            self.h_fold_layer1
-            and block_cls is BasicBlock
-            and dilate_from == 5  # layer2 keeps its stride (no dilation)
-            and out.shape[1] % 4 == 0  # folded maxpool needs stem H % 4
-        )
-        if fold_l1:
-            from hallucidet_tpu.ops.fused_upsample import max_pool3x3s2_fold2
-
-            out = max_pool3x3s2_fold2(out)
-        else:
-            out = nn.max_pool(
-                out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-            )
+                out = max_pool3x3s2_fold2(out)
+            else:
+                out = nn.max_pool(
+                    out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                )
         planes = 64
         dilation = 1
         for li, n_blocks in enumerate(layer_sizes, start=1):
@@ -416,6 +455,18 @@ def layer1_fold_factor(arch: str, input_h: int, output_stride: int = 32) -> int:
         return 1
     stem_h = (input_h + 1) // 2  # 7x7/s2/p3 output height
     return 2 if stem_h % 4 == 0 else 1
+
+
+def stem_fold_factor(
+    arch: str, input_h: int, input_w: int, output_stride: int = 32
+) -> int:
+    """The (static) H-fold factor of the STEM feature under the same flags —
+    4 when the fold-4 stem engages (the folded chain active, s2d-compatible
+    H % 8 == 0 and W % 2 == 0 geometry; ResNet.__call__ `stem_f4`), else 1.
+    Assumes the encoder's default s2d_stem=True."""
+    if layer1_fold_factor(arch, input_h, output_stride) != 2:
+        return 1
+    return 4 if input_h % 8 == 0 and input_w % 2 == 0 else 1
 
 
 def encoder_out_channels(arch: str) -> Tuple[int, ...]:

@@ -472,6 +472,99 @@ def s2d_stride2_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)  # [4,4,4c,o]
 
 
+def stem_fold4_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """[7,7,C,O] (stride-2 'same' stem conv) -> [3,4,16C,4O]: the ResNet stem
+    conv consuming the (8,2) space-to-depth of the raw input and emitting its
+    output directly in (4,1)-H-FOLDED form — strides (1,1), padding
+    ((1,1),(2,1)).
+
+    Output cell (q, s) channel block p (phase-major (p, o), the fold_h
+    order) is stem output (row 4q+p, col s), whose 7x7/s2 taps read original
+    rows 8q+2p+dy-3 = 8(q+Dy-1)+ry and cols 2s+dx-3 = 2(s+Dx-2)+rx; solving
+    gives dy = ry+3-2p+8(Dy-1) and dx = 2Dx+rx-1, zero where outside [0,7).
+    Input channel order (ry, rx, c) matches space_to_depth(x, 8, 2).
+
+    Why: the s2d(2) stem form leaves Cin=4 on the lane dim (the round-4 b64
+    trace: 9.1 ms at 2.7x its write floor); this form has K=3*4*16C and the
+    128-lane fold-4 output, probed 1.54x faster isolated, and its output is
+    the layout the folded maxpool + layer1 chain consume with no fold copy.
+    Exact: the kernel re-indexes the same 49 taps (plus structured zeros)."""
+    kk, kk2, c, o = k.shape
+    assert kk == 7 and kk2 == 7, "stem transform implemented for 7x7 stride-2"
+    zero = jnp.zeros((c, o), k.dtype)
+    rows = []
+    for Dy in range(3):
+        cols = []
+        for Dx in range(4):
+            blocks_in = []
+            for ry in range(8):
+                for rx in range(2):
+                    dx = 2 * Dx + rx - 1
+                    outs = []
+                    for p in range(4):
+                        dy = ry + 3 - 2 * p + 8 * (Dy - 1)
+                        if 0 <= dy <= 6 and 0 <= dx <= 6:
+                            outs.append(k[dy, dx])
+                        else:
+                            outs.append(zero)
+                    blocks_in.append(jnp.concatenate(outs, axis=1))  # [C,4O]
+            cols.append(jnp.concatenate(blocks_in, axis=0))  # [16C, 4O]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [3, 4, 16C, 4O]
+
+
+@jax.custom_vjp
+def max_pool3x3s2_fold4_to_fold2(xf: jnp.ndarray) -> jnp.ndarray:
+    """max_pool 3x3/s2/p1 consumed from the (4,1)-H-folded stem and emitted
+    (2,1)-H-folded: [B, Hs/4, W, 4C] -> [B, Hs/4, W/2, 2C].
+
+    The W direction pools once on the folded tensor (every fold phase shares
+    it). In H, pool row 2t reads stem rows 4t-1..4t+1 and row 2t+1 reads
+    4t+1..4t+3 — with the stem already packed 4 rows per cell these are pure
+    CHANNEL maxes between phase blocks (c3 shifted down one cell, c0, c1)
+    and (c1, c2, c3): no strided row access at all, unlike the from-unfolded
+    fold2 form whose two phase reduce_windows re-read 75% of the stem
+    (13.2 ms/step at b64, round-5 trace). Exact (max is order-free);
+    tests/test_h_fold.py pins it against the unfolded oracle."""
+    b, hq, w, c4 = xf.shape
+    c = c4 // 4
+    wp = jax.lax.reduce_window(
+        xf, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+        padding=((0, 0), (0, 0), (1, 1), (0, 0)),
+    )
+    c0, c1 = wp[..., :c], wp[..., c : 2 * c]
+    c2, c3 = wp[..., 2 * c : 3 * c], wp[..., 3 * c :]
+    neg = jnp.full_like(c3[:, :1], -jnp.inf)
+    c3m = jnp.concatenate([neg, c3[:, :-1]], axis=1)  # stem row 4t-1
+    pool0 = jnp.maximum(jnp.maximum(c3m, c0), c1)  # pool row 2t
+    pool1 = jnp.maximum(jnp.maximum(c1, c2), c3)  # pool row 2t+1
+    return jnp.concatenate([pool0, pool1], axis=-1)
+
+
+def _mpf42_fwd(xf):
+    return max_pool3x3s2_fold4_to_fold2(xf), xf
+
+
+def _mpf42_bwd(xf, g):
+    # torch maxpool backward routes tie gradients through reduce_window's
+    # select-and-scatter (same policy as max_pool3x3s2_fold2): run the
+    # STANDARD pool vjp on the unfolded view and refold the cotangent — the
+    # un/refolds are reshuffles XLA fuses into the neighbors.
+    def pool(y):
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+
+    x = unfold_h(xf, 4)
+    _, vjp = jax.vjp(pool, x)
+    (dx,) = vjp(unfold_h(g, 2))
+    return (fold_h(dx, 4),)
+
+
+max_pool3x3s2_fold4_to_fold2.defvjp(_mpf42_fwd, _mpf42_bwd)
+
+
 # The 2-tap shifted-anchor phase-conv variants (zero-redundancy conv1,
 # 1.78x conv2) were built, exactness-tested, and measured ~7% SLOWER than
 # the aligned 3x3 phase form on v5e (odd spatial dims cost more in layout

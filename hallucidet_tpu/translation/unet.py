@@ -85,8 +85,12 @@ class Unet(nn.Module):
         if self.remat and hasattr(encoder, "remat"):
             encoder = encoder.copy(remat=True)
         l1_fold = 1
+        st_fold = 1
         if self.fold_layer1 and hasattr(encoder, "h_fold_layer1"):
-            from hallucidet_tpu.nn.resnet import layer1_fold_factor
+            from hallucidet_tpu.nn.resnet import (
+                layer1_fold_factor,
+                stem_fold_factor,
+            )
 
             l1_fold = layer1_fold_factor(
                 getattr(encoder, "arch", ""), x.shape[1],
@@ -94,6 +98,12 @@ class Unet(nn.Module):
             )
             if l1_fold > 1:
                 encoder = encoder.copy(h_fold_layer1=True)
+                # the fold-4 stem (nn/resnet.py stem_f4) emits the STEM
+                # feature (4,1)-H-folded too
+                st_fold = stem_fold_factor(
+                    getattr(encoder, "arch", ""), x.shape[1], x.shape[2],
+                    getattr(encoder, "output_stride", 32),
+                )
         features: List[jnp.ndarray] = encoder.copy(name="encoder")(x, train)
         # consume only encoder_depth stages; the deeper features are unused
         # and their compute is eliminated by XLA
@@ -103,12 +113,20 @@ class Unet(nn.Module):
         # _check_input_shape (2^encoder_depth >= 8 for depth in [3,5])
         factors = self.s2d_factors
         # the layer1 skip sits at index encoder_depth-3 of the deepest-first
-        # skips list; it arrives (l1_fold,1)-H-folded when the chain engaged
+        # skips list (fold l1_fold); the STEM skip at encoder_depth-2 arrives
+        # (4,1)-folded when the fold-4 stem engaged — both consumed natively
+        # by the fold-aware decoder blocks (HFoldMidBlock skip_fold)
         skip_folds = None
         if l1_fold > 1:
+            def _sf(j):
+                if j == self.encoder_depth - 3:
+                    return l1_fold
+                if j == self.encoder_depth - 2:
+                    return st_fold
+                return 1
+
             skip_folds = tuple(
-                l1_fold if j == self.encoder_depth - 3 else 1
-                for j in range(self.encoder_depth - 1)
+                _sf(j) for j in range(self.encoder_depth - 1)
             )
         decoded = UnetDecoder(
             decoder_channels=self.decoder_channels,

@@ -218,8 +218,10 @@ def test_encoder_layer1_h_fold_exact_fwd_stats_grads():
     )
     fa = enc_a.apply(var, x, False)
     fb = enc_b.apply(var, x, False)
+    assert fb[1].shape == (2, 8, 48, 256)  # (4,1)-folded stem (round 5)
     assert fb[2].shape == (2, 8, 24, 128)  # (2,1)-folded layer1
     fb = list(fb)
+    fb[1] = unfold_h(fb[1], 4)
     fb[2] = unfold_h(fb[2], 2)
     for a, b in zip(fa, fb):
         assert a.shape == b.shape
