@@ -86,3 +86,21 @@ def test_fcos_infer():
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3))
     dets = det.infer(v, images)
     assert dets.boxes.shape == (1, 5, 4)
+
+
+def test_detector_predict_flag_matrix():
+    """Detector.predict accepts every (fast, half) combination for every
+    family — fast is Faster-R-CNN-only (others have no proposal pool) and
+    must be silently inert for them; half runs everywhere (round 5)."""
+    from hallucidet_tpu.detection.detector import Detector
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3))
+    for family in ("fasterrcnn", "retinanet", "fcos"):
+        det = Detector(name=family, n_classes=2, size=64)
+        v = det.init(jax.random.PRNGKey(0))
+        for fast in (False, True):
+            for half in (False, True):
+                dets = det.predict(v, images, fast=fast, half=half)
+                assert dets.boxes.dtype == jnp.float32, (family, fast, half)
+                assert bool(jnp.all(jnp.isfinite(dets.scores))), (
+                    family, fast, half)

@@ -30,7 +30,8 @@ PATTERNS = [
      rf"|\[{B},256,640,2,|\[{B},1024,1280,3",
      "resize/handoff"),
     (rf"\[{B},256,320,64|\[{B},128,320,(128|64)\]", "enc-layer1(+fold)"),
-    (rf"\[{B},512,640,(4|64|12)\]|\[4,4,(4|12),64|\[{B},1024,1280",
+    (rf"\[{B},512,640,(4|64|12)\]|\[4,4,(4|12),64|\[{B},1024,1280"
+     rf"|\[{B},128,640,(256|16)\]|\[3,4,(16|48),256",  # fold-4 stem (r5)
      "enc-stem/pool/input"),
     (rf"\[{B},128,160,(128|64)", "enc-layer2"),
     (rf"\[{B},64,80,(256|768|128)", "enc-l3+dec-b0"),
