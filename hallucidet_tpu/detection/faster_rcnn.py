@@ -119,6 +119,12 @@ class FasterRCNNModule(nn.Module):
         return self.fpn(c_feats)  # P2..P5 + pool(P6)
 
     def rpn(self, feats: Sequence[jnp.ndarray]):
+        # NOTE (round 5): a separator-padded level-packed form of this head
+        # (one frame, 3 dispatches instead of 15, bit-exact — goldens
+        # verified) measured 216.0 -> 214.6 img/s at b64 parity: the packed
+        # frame's copy plus the 1.5x position inflation of the shared 3x3
+        # cost more than the per-level dispatch overheads they replace
+        # (which XLA already overlaps). Reverted; per-level stands.
         objs, deltas = [], []
         for f in feats:
             t = nn.relu(self.rpn_conv(f))
@@ -416,6 +422,23 @@ class FasterRCNN:
     def anchors(self) -> np.ndarray:
         return self._anchor_gen.anchors_concat(self.image_size, self.level_shapes())
 
+    def _roi_levels(self) -> int:
+        """How many FPN levels the RoI pool must cover at this frame size.
+
+        MultiScaleRoIAlign assigns level floor(4 + log2(sqrt(area)/224))
+        clipped to [2, 5]; every pooled box is clipped to the frame first,
+        so sqrt(area) <= sqrt(H*W) bounds the reachable level. At the
+        product 300x300 frame that bound is level 4 (P4) — P5 can NEVER
+        receive a box, and its rows in the level-packed RoIAlign frame
+        (ops/roi_align.py) are dead weight in both einsum passes (round 5;
+        h_cat 142 -> 132). Exact: a dropped level had identically-zero
+        interpolation weight for every possible RoI."""
+        import math
+
+        s_max = math.sqrt(self.image_size[0] * self.image_size[1])
+        reach = math.floor(4 + math.log2(s_max / 224.0 + 1e-6)) - 2
+        return max(1, min(4, int(reach) + 1))
+
     # ---- init ----
 
     def init(self, rng: jax.Array):
@@ -466,14 +489,16 @@ class FasterRCNN:
 
         # RoI pooling scales round to powers of two (MultiScaleRoIAlign
         # infer_scale semantics) — distinct from the anchor strides, which use
-        # integer division (torchvision AnchorGenerator).
+        # integer division (torchvision AnchorGenerator). Only the levels a
+        # clipped box can reach are pooled (_roi_levels).
+        nl = self._roi_levels()
         strides = [
             2 ** int(round(np.log2(self.image_size[0] / hw[0])))
-            for hw in self.level_shapes()[:4]
+            for hw in self.level_shapes()[:nl]
         ]
         pooled = jax.vmap(
             lambda fs, r: multiscale_roi_align(fs, r, strides, (7, 7), 2)
-        )([f for f in feats[:4]], sel_boxes)
+        )([f for f in feats[:nl]], sel_boxes)
 
         class_logits, box_regression = self.module.apply(
             variables, pooled, method="box_predict"
@@ -531,13 +556,14 @@ class FasterRCNN:
             self.image_size, cfg, False,
         )
 
+        nl = self._roi_levels()
         strides = [
             2 ** int(round(np.log2(self.image_size[0] / hw[0])))
-            for hw in self.level_shapes()[:4]
+            for hw in self.level_shapes()[:nl]
         ]
         pooled = jax.vmap(
             lambda fs, r: multiscale_roi_align(fs, r, strides, (7, 7), 2)
-        )([f for f in feats[:4]], prop_boxes)
+        )([f for f in feats[:nl]], prop_boxes)
         class_logits, box_regression = self.module.apply(
             variables, pooled, method="box_predict"
         )

@@ -74,7 +74,16 @@ class RetinaNetModule(nn.Module):
         return self.fpn(c_feats)  # P3..P5, P6, P7
 
     def head(self, feats: Sequence[jnp.ndarray]):
-        """Returns (cls_logits [B, A_tot, C], bbox_reg [B, A_tot, 4])."""
+        """Returns (cls_logits [B, A_tot, C], bbox_reg [B, A_tot, 4]).
+
+        NOTE (round 5): a separator-padded level-packed form of these
+        shared-weight towers (one frame, 10 dispatches instead of 50, exact
+        with a per-conv separator re-zero mask — golden-verified) measured
+        8.80 -> 9.67 ms/step for infer b8@300 bf16: XLA already overlaps the
+        per-level dispatches, and the packed frame's 1.57x position
+        inflation across 8 tower convs costs more than the dispatch
+        overheads it removes (same verdict as the Faster R-CNN RPN head,
+        detection/faster_rcnn.py). Per-level stands."""
         cfg = self.config
         cls_out, reg_out = [], []
         for f in feats:
