@@ -45,6 +45,9 @@ class BasicBlock(nn.Module):
         )(x)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn1"), out, train)
         out = nn.relu(out)
+        # materialize conv2's input (see HFoldBasicBlock: XLA's in-fusion
+        # bn+relu input chain ran the conv 2.6x slower; round-5 HLO finding)
+        out = jax.lax.optimization_barrier(out)
         out = conv(self.planes, 3, 1, d, use_bias=False, dilation=d, name="conv2")(out)
         out = _apply_norm(_norm(self.frozen_bn, self.planes, "bn2"), out, train)
         if self.downsample:
@@ -96,6 +99,14 @@ class HFoldBasicBlock(nn.Module):
             ),
         )
         out = nn.relu(bn("bn1", out))
+        # Materialize conv2's input instead of letting XLA fuse the bn+relu
+        # chain INTO the conv fusion: the in-fusion input chain forces
+        # per-tile halo recomputation through the elementwise ops and the
+        # conv emitter's fused-operand mode ran these convs at 10.6 ms vs
+        # the 4.1 ms of their materialized-input peers (round-5 HLO
+        # dissection of fused_computation.164 vs .225; exact — the barrier
+        # is an identity).
+        out = jax.lax.optimization_barrier(out)
         out = jax.lax.conv_general_dilated(
             out, s2d_conv_kernel_f(k2, f, 1).astype(out.dtype), (1, 1),
             ((1, 1), (1, 1)),
@@ -143,6 +154,8 @@ class FoldConsumeBasicBlock(nn.Module):
         )
         out = _apply_norm(_norm(self.frozen_bn, p, "bn1"), out, train)
         out = nn.relu(out)
+        # materialize conv2's input (round-5 finding, see HFoldBasicBlock)
+        out = jax.lax.optimization_barrier(out)
         out = conv(p, 3, 1, 1, use_bias=False, name="conv2")(out)
         out = _apply_norm(_norm(self.frozen_bn, p, "bn2"), out, train)
         identity = fconv(
@@ -173,6 +186,8 @@ class Bottleneck(nn.Module):
         out = conv(width, 1, 1, 0, use_bias=False, name="conv1")(x)
         out = _apply_norm(_norm(self.frozen_bn, width, "bn1"), out, train)
         out = nn.relu(out)
+        # materialize the 3x3's input (round-5 finding, see HFoldBasicBlock)
+        out = jax.lax.optimization_barrier(out)
         # stride lives on the 3x3 (torchvision placement)
         out = conv(
             width, 3, self.stride, d, use_bias=False, dilation=d,
