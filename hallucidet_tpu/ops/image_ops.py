@@ -189,11 +189,20 @@ def resize_bilinear_from_phase(
     mw = jnp.asarray(_interp_matrix(w, ow), dtype=compute_dtype)  # [ow, w]
     mh_ph = mh.reshape(oh, hp, fh)  # [oh, hp, py]
     mw_ph = mw.reshape(ow, wp, fw)  # [ow, wp, px]
-    x6 = x_ph.reshape(b, hp, wp, fh, fw, c).astype(compute_dtype)
+    x6 = x_ph.reshape(b, hp, wp, fh, fw, c)
+    # pad the minor channel dim to 8: with c=3 (RGB) both einsums — and
+    # especially their autodiff transposes in the train step — lower to
+    # layout-bound forms (isolated probe: 94.7 -> 9.3 ms/iter fwd+bwd at the
+    # b8 train geometry). Zero channels contribute zero to every sum and are
+    # sliced off the SMALL fixed-size output, so this is exact.
+    c_pad = (-c) % 8 if c < 8 else 0
+    if c_pad:
+        x6 = jnp.pad(x6, ((0, 0),) * 5 + ((0, c_pad),))
+    x6 = x6.astype(compute_dtype)
     prec = jax.lax.Precision.HIGHEST
     y = jnp.einsum("bhwpqc,ohp->bowqc", x6, mh_ph, precision=prec)
     y = jnp.einsum("bowqc,vwq->bovc", y, mw_ph, precision=prec)
-    return y
+    return y[..., :c] if c_pad else y
 
 
 def resize_bilinear_from_phase2(
